@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local testing runs a single JVM (``local[N]``); the configs below are
+chosen so the *same logical plans* scale to a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle partition
+  counts self-tune between sf0.001 local runs and 100 TB cluster runs.
+- Arrow on for every pandas-UDF boundary (the ML-inference path).
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Shuffle partitions default to core count locally; on a real cluster
+  AQE's coalescing makes the initial number mostly irrelevant as long
+  as it is high enough — set ``spark.sql.shuffle.partitions`` to
+  2-3x total cores via ``extra_conf`` there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "eye_of_sauron_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with scale-aware defaults."""
+    cpus = _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: vectorized reader + pushdown are on by default;
+        # keep files from fragmenting into too many tiny tasks locally.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

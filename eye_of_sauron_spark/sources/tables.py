@@ -1,0 +1,59 @@
+"""Batch table registry over the driver's parquet fixtures.
+
+The reference's data model is keyed JSON messages on Kafka topics with
+implicit schemas (reference src/params.py:9-17, src/utils.py:24-28);
+here every dataset is a parquet-backed DataFrame with an explicit
+schema, so Catalyst gets pushdown / pruning / stats for free.
+
+At cluster scale these reads would point at object-store prefixes; the
+scan path (vectorized parquet reader, predicate pushdown, partition
+pruning) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as int64 and
+        # truncate to microsecond TimestampType — the same ns -> us
+        # truncation DuckDB's parquet reader applies, so oracle
+        # comparisons see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: ns values (~1.7e18) exceed double's 53-bit
+            # mantissa, so a float divide would corrupt the timestamp
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

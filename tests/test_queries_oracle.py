@@ -1,0 +1,31 @@
+"""Every registered query with an oracle must match DuckDB on the
+same tables — a local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from eye_of_sauron_spark import plans
+from tests._oracle import compare, duckdb_con
+
+ORACLES = plans.all_oracles()
+QUERIES = plans.all_queries()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb_con(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, sf_dir, con, name):
+    compare(QUERIES[name](spark, sf_dir), con, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema is not None
