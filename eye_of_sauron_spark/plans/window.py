@@ -1,0 +1,260 @@
+"""Window functions: ranking, offsets (lag/lead), running and moving
+frames, distribution functions.
+
+Reference parity: the first-match-in-upload-order semantics of the
+face matcher (reference src/prediction_producer.py:321-323) is a
+ranking window (row_number over target index); the per-frame latency
+series it logs (prediction_producer.py:355-361) becomes running /
+moving aggregates here.
+
+Scale notes: every window below partitions by a key (customer, user)
+— Spark shuffles once per distinct (partitionBy, orderBy) pair and
+sorts within partitions; no global sort. Skewed partitions (one hot
+user) are the failure mode to watch; AQE does not split window
+partitions, so key design matters more than for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "window_rank_customers",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    QUALIFY rank() OVER w <= 3
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank, top-3 per nation."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer over order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_event_gaps",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_us / 1000000.0), 4) AS avg_gap_sec,
+           round(max(gap_us / 1000000.0), 4) AS max_gap_sec
+    FROM (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    )
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): inter-event gap statistics per user — the engine's
+    version of the reference's per-frame latency series (A8)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg(F.col("gap_us") / 1_000_000.0), 4).alias("avg_gap_sec"),
+        F.round(F.max(F.col("gap_us") / 1_000_000.0), 4).alias("max_gap_sec"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg_3
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row frame per user."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "window_lead_transitions",
+    oracle="""
+    SELECT event_type, next_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS next_type
+        FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def window_lead_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead(): event-type transition matrix (Markov counts)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "window_ntile_spend_quartiles",
+    oracle="""
+    SELECT quartile, count(*) AS n_customers,
+           round(sum(spend), 2) AS quartile_spend
+    FROM (
+        SELECT c.c_custkey,
+               coalesce(sum(o.o_totalprice), 0) AS spend,
+               ntile(4) OVER (
+                   ORDER BY coalesce(sum(o.o_totalprice), 0) DESC, c.c_custkey ASC
+               ) AS quartile
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY quartile
+    """,
+)
+def window_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) customer-spend quartiles (join -> agg -> window -> agg).
+
+    The unpartitioned ntile forces a single-partition sort — fine for
+    a per-customer rollup (rows == customers), and the pattern at
+    100 TB is ntile over an already-aggregated, much smaller relation.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    w = W.orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("quartile_spend"),
+        )
+    )
+
+
+@query(
+    "window_first_match_semantics",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS first_part,
+           round(l_extendedprice, 2) AS first_price
+    FROM (
+        SELECT l_orderkey, l_partkey, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber ASC, l_partkey ASC, l_extendedprice ASC
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+)
+def window_first_match_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-in-order selection — the reference matcher returns the
+    first target within tolerance in upload order, NOT the argmin
+    (prediction_producer.py:321-323). Here: first lineitem per order.
+
+    l_linenumber repeats within an order in this data, so the window
+    carries a full tie-break (linenumber, partkey, price) — a bare
+    min_by would be nondeterministic across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_extendedprice").asc(),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("first_part"),
+            F.round("l_extendedprice", 2).alias("first_price"),
+        )
+    )
