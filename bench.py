@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-query wall-time benchmark over the full query registry.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the ``noop`` sink (computes
+every column, writes nothing) so the timing covers the whole plan, not
+just whatever a count() can prune away. A warmup query runs first so JVM
+/ codegen startup is not billed to the first query in the dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eye_of_sauron_spark import plans  # noqa: E402
+from eye_of_sauron_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("eye_of_sauron_spark_bench")
+    queries = plans.all_queries()
+
+    # warmup: JVM, codegen, parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(sf_dir),
+                "n_queries": len(times),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

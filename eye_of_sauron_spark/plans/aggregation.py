@@ -132,8 +132,9 @@ def multi_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the
     100 TB replacement for exact distinct. Rows-only check: HLL
-    estimates are engine-specific so no DuckDB oracle; pytest bounds
-    the relative error instead."""
+    estimates are engine-specific so no DuckDB oracle;
+    tests/test_aggregates.py bounds the error against exact
+    countDistinct instead."""
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),

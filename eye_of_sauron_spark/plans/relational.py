@@ -369,22 +369,41 @@ def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minmax_by_segment",
     oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_name DESC
+               ) AS r_rich,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_name ASC
+               ) AS r_poor
+        FROM customer
+    )
     SELECT c_mktsegment,
-           max_by(c_name, c_acctbal) AS richest,
-           min_by(c_name, c_acctbal) AS poorest,
+           max(CASE WHEN r_rich = 1 THEN c_name END) AS richest,
+           max(CASE WHEN r_poor = 1 THEN c_name END) AS poorest,
            round(max(c_acctbal), 2) AS max_bal,
            round(min(c_acctbal), 2) AS min_bal
-    FROM customer
+    FROM ranked
     GROUP BY c_mktsegment
     """,
 )
 def minmax_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by — the reference's argmax-free 'first/best match'
-    selection (A6) as a proper aggregate."""
+    selection (A6) as a proper aggregate.
+
+    Ordering value is struct(c_acctbal, c_name) so a tie at the segment
+    extremum breaks deterministically on name (a bare max_by over a
+    bounded-range double is engine-dependent under ties). DuckDB's
+    max_by can't order by a struct, so the oracle states the same
+    semantics with row_number windows.
+    """
     customer = _t(spark, sf_dir, "customer")
     return customer.groupBy("c_mktsegment").agg(
-        F.max_by("c_name", "c_acctbal").alias("richest"),
-        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", F.struct("c_acctbal", "c_name")).alias("richest"),
+        F.min_by("c_name", F.struct("c_acctbal", "c_name")).alias("poorest"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )

@@ -194,11 +194,18 @@ def window_lead_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) customer-spend quartiles (join -> agg -> window -> agg).
+    """Customer-spend quartiles with ntile(4) semantics, computed
+    WITHOUT a single-partition global window.
 
-    The unpartitioned ntile forces a single-partition sort — fine for
-    a per-customer rollup (rows == customers), and the pattern at
-    100 TB is ntile over an already-aggregated, much smaller relation.
+    A bare ``ntile(4).over(orderBy(...))`` sorts the whole relation in
+    one task — the one serial bottleneck flagged in round 1. Instead:
+    range-repartition on the sort key (parallel sort), take a local
+    row_number per partition, add per-partition offsets (a tiny
+    aggregate over ≤ #partitions rows, broadcast back), and derive the
+    quartile from the exact ntile bucket arithmetic: with n rows and k
+    buckets, the first n%k buckets get n//k+1 rows, the rest n//k.
+    Every stage is parallel; the only driver-sized data is the offsets
+    table. The oracle states the same result with a plain ntile(4).
     """
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -207,14 +214,39 @@ def window_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
     )
-    w = W.orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
-    return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("spend"), 2).alias("quartile_spend"),
+    order = [F.col("spend").desc(), F.col("c_custkey").asc()]
+    by_range = (
+        spend.repartitionByRange(32, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = by_range.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_prev = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    w_local = W.partitionBy("pid").orderBy(*order)
+    big = F.floor(F.col("n_total") / 4) + 1  # size of the first n%4 buckets
+    small = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    ranked = (
+        by_range.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("offset") + F.row_number().over(w_local))
+        .withColumn(
+            "quartile",
+            F.when(F.col("rn") <= big * rem, F.ceil(F.col("rn") / big)).otherwise(
+                rem + F.ceil((F.col("rn") - big * rem) / small)
+            ),
         )
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("spend"), 2).alias("quartile_spend"),
     )
 
 

@@ -40,12 +40,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+        # outright (PARQUET_TYPE_ILLEGAL); read nanos as int64 once,
+        # session-wide, so no table loader has to flip configs mid-query
+        # (the loader truncates ns -> us to match DuckDB's reader).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep files from fragmenting into too many tiny tasks locally.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if SparkSession.getActiveSession() is None:
+        # only effective before the JVM exists; setting it on a live
+        # session would silently do nothing, so don't pretend otherwise
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

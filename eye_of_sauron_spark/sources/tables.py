@@ -35,11 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as int64 and
-        # truncate to microsecond TimestampType — the same ns -> us
-        # truncation DuckDB's parquet reader applies, so oracle
-        # comparisons see identical values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # outright (PARQUET_TYPE_ILLEGAL). Sessions built by
+        # session.get_spark set spark.sql.legacy.parquet.nanosAsLong at
+        # startup; externally-provided sessions (the driver's) may not,
+        # so ensure it here — without flipping a conf the caller already
+        # chose. We truncate ns -> us below, matching DuckDB's parquet
+        # reader so oracle comparisons see identical values.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer division: ns values (~1.7e18) exceed double's 53-bit

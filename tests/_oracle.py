@@ -47,7 +47,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("Int64")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
-        elif isinstance(s.dtype, object.__class__) or s.dtype == object:
+        elif s.dtype == object:
             # lists/arrays -> tuple for sortability; leave strings alone
             df[c] = s.map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
