@@ -1,0 +1,52 @@
+"""Portable (engine-agnostic) hashing primitives.
+
+The natural Spark choice for content hashing is ``xxhash64`` — but the
+DuckDB oracle can't reproduce it, so every hash that feeds an
+oracle-checked result is built from ``md5`` (identical hex output in
+both engines) plus plain integer arithmetic. All of it stays inside
+WholeStageCodegen on the Spark side; swapping ``xxhash64`` back in for
+a production deployment is a one-line change per call site.
+
+Reference parity: content hashing replaces the reference's identity-
+by-key convention (``"{camera}_{frame}"`` message keys,
+src/frame_producer.py:135) with content-derived keys for dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hex32_spark(col: Column) -> Column:
+    """First 32 bits of md5(col) as a non-negative BIGINT (0..2^32-1)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hex32_duck(expr: str) -> str:
+    """DuckDB SQL computing the same value as :func:`hex32_spark`.
+
+    DuckDB has no ``conv``; fold the 8 hex chars with a list_reduce.
+    """
+    return (
+        "list_reduce(list_transform("
+        f"string_split(substr(md5({expr}), 1, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def minhash_seed_spark(seed: Column, value: Column) -> Column:
+    """Seeded portable hash for MinHash: md5('{seed}:{value}') as hex.
+
+    Min over a set of these hex strings (lexicographic) is a valid
+    min-wise hash; k independent functions come from k seeds. Both
+    engines produce identical lowercase hex, so signatures match
+    bit-for-bit.
+    """
+    return F.md5(F.concat(seed.cast("string"), F.lit(":"), value))
+
+
+def minhash_seed_duck(seed_expr: str, value_expr: str) -> str:
+    """DuckDB SQL twin of :func:`minhash_seed_spark`."""
+    return f"md5(CAST({seed_expr} AS VARCHAR) || ':' || {value_expr})"

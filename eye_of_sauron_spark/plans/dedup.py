@@ -1,0 +1,426 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+corpora: exact (content hash), MinHash-LSH, SimHash, exact n-gram
+Jaccard, and embedding-cosine near-dup.
+
+These are the LLM-training-data-pipeline operators mandated beyond the
+reference's own surface (SURVEY.md §2 Part B last row). Every pipeline
+below is banded/bucketed — candidate generation is always an equi-join
+on a derived key (hash, band signature, simhash band, label), never an
+all-pairs cross product, which is what makes the same plan run at
+100 TB: the only shuffles are group-bys on derived keys and the
+candidate joins touch O(collisions), not O(n^2).
+
+Hashing is md5-based portable arithmetic (see functions/hashing.py) so
+the DuckDB oracle reproduces signatures bit-for-bit; swap xxhash64 in
+production for ~2x hash throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.hashing import minhash_seed_duck, minhash_seed_spark
+from ..functions.text import shingles_duck, shingles_spark, tokens_duck, tokens_spark
+from ..functions.vector import cosine_duck, cosine_spark
+from ..sources import load_table
+from .registry import query
+
+# MinHash parameters: 16 hash functions in 8 bands of 2 rows. With
+# band-match probability 1-(1-j^2)^8, a pair at jaccard 0.9 is caught
+# with p > 1-1e-7; candidates are then verified with exact jaccard, so
+# the band layout only affects recall, never precision.
+_MINHASH_K = 16
+_MINHASH_BANDS = 8
+_JACCARD_THRESHOLD = 0.8
+
+_SIMHASH_BITS = 32
+_SIMHASH_BAND_BITS = 8  # 4 bands; hamming <= 3 guarantees a band collides
+_HAMMING_MAX = 3
+
+_COSINE_NEARDUP = 0.35
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT * FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT lang,
+           count(*) AS n_rows,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups_removed
+    FROM corpus
+    GROUP BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with duplicated ingest
+    (every 7th document re-ingested, simulating a re-crawl).
+
+    At scale: one groupBy on md5(text) — partial agg makes shuffle
+    volume O(distinct docs); with doc bodies large, hash first and
+    shuffle only (hash, doc_id), never the text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionAll(docs.filter(F.col("doc_id") % 7 == 0))
+    return corpus.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_dups_removed"),
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_duck('text')}) AS shingle
+        FROM documents
+    ),
+    seeded AS (
+        SELECT doc_id, shingle, unnest(range(0, {_MINHASH_K})) AS seed FROM sh
+    ),
+    minh AS (
+        SELECT doc_id, seed, min({minhash_seed_duck('seed', 'shingle')}) AS mh
+        FROM seeded GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT) AS band,
+               string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM minh GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.da, c.db, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.da
+        JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+        GROUP BY c.da, c.db
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE i.i / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle -> 16 min-hashes ->
+    8 banded signatures -> bucket equi-join for candidates -> exact
+    jaccard verification >= 0.8.
+
+    Scale shape: signatures are O(docs x 16) rows; the candidate join
+    keys on (band, signature) so only colliding buckets meet — never
+    an all-pairs comparison. Verification joins are semi-pruned to the
+    candidate set. The reference has no dedup at all; its nearest
+    analog is 'smart' frame skipping (frame_producer.py:110-119),
+    which is exact-dup dropping at the source.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    )
+    seeded = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("seed"),
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(
+        F.min(minhash_seed_spark(F.col("seed"), F.col("shingle"))).alias("mh")
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = (
+        minh.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x.mh,
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("band").alias("b1"), F.col("sig").alias("s1")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("band").alias("b2"), F.col("sig").alias("s2")
+    )
+    cand = (
+        a.join(b, (a.b1 == b.b2) & (a.s1 == b.s2) & (a.da < b.db))
+        .select("da", "db")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sa"))
+    sh_b = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sb"))
+    inter = (
+        cand.join(sh_a, "da")
+        .join(sh_b, "db")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_duck('text')}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           CAST(sa.n AS BIGINT) AS n_shingles_a,
+           CAST(sb.n AS BIGINT) AS n_shingles_b,
+           round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE i.i / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted-index (postings)
+    self-join on shingles — the exact-answer baseline MinHash-LSH
+    approximates.
+
+    Scale shape: the postings join explodes on high-frequency shingles
+    (a shingle shared by m docs contributes m^2 pairs). At 100 TB,
+    drop shingles with document frequency above a cutoff first (they
+    carry no near-dup signal, exactly like stopwords); here the corpus
+    is small enough to skip that.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("da"), "shingle")
+    y = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        x.join(y, ["shingle"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("na").cast("bigint").alias("n_shingles_a"),
+            F.col("nb").cast("bigint").alias("n_shingles_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# SimHash: 32-bit signature from the token *multiset*; near-dups are
+# pairs at hamming distance <= 3. Banding the 32 bits into 4 bytes
+# guarantees (pigeonhole) that any pair within hamming 3 collides on
+# at least one band, so the candidate join is complete, not heuristic.
+_H32 = (
+    "list_reduce(list_transform(string_split(substr(md5(tok), 1, 8), ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_duck('text')}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_H32} AS h FROM toks),
+    bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN (h // CAST(pow(2, j.j) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM hashed, unnest(range(0, {_SIMHASH_BITS})) AS j(j)
+        GROUP BY doc_id, j.j
+    ),
+    sims AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, b.b,
+               (simhash // CAST(pow(2, {_SIMHASH_BAND_BITS} * b.b) AS BIGINT))
+                   % {2 ** _SIMHASH_BAND_BITS} AS bandval
+        FROM sims, unnest(range(0, {_SIMHASH_BITS // _SIMHASH_BAND_BITS})) AS b(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, a.simhash AS ha, b.doc_id AS db, b.simhash AS hb
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token 32-bit hashes vote per bit position
+    (+1/-1 weighted by multiplicity); the sign vector is the document
+    signature; candidates join on 8-bit bands (complete for hamming <=
+    3 by pigeonhole) and verify with popcount(xor).
+
+    Scale shape: signatures are one 64-bit int per doc; the band join
+    is 4 rows/doc. This is the cheapest fuzzy dedup here — O(docs)
+    state vs MinHash's O(docs x k) — at the cost of weaker recall on
+    heavily edited near-dups.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("tok"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        hashed.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") == 1, 1
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sims = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
+    ).withColumn(
+        "bandval",
+        F.expr(
+            f"(simhash div CAST(pow(2, {_SIMHASH_BAND_BITS} * b) AS BIGINT))"
+            f" % {2 ** _SIMHASH_BAND_BITS}"
+        ),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("da"),
+        F.col("simhash").alias("ha"),
+        F.col("b").alias("b1"),
+        F.col("bandval").alias("v1"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("db"),
+        F.col("simhash").alias("hb"),
+        F.col("b").alias("b2"),
+        F.col("bandval").alias("v2"),
+    )
+    cand = (
+        a.join(b, (a.b1 == b.b2) & (a.v1 == b.v2) & (a.da < b.db))
+        .select("da", "ha", "db", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        cand.filter(hamming <= _HAMMING_MAX)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+_EMB_NEARDUP_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.label AS INT) AS label,
+           round({cosine_duck('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_duck('a.embedding', 'b.embedding')} >= {_COSINE_NEARDUP}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above a cosine threshold,
+    label-pruned (the equi component of the join) so candidate
+    generation is per-label, not all-pairs.
+
+    Scale shape: at 100 TB the label plays the role of a coarse
+    partition (IVF cell / LSH bucket); cosine math is the codegen'd
+    zip_with/aggregate fold from functions/vector.py — bitwise equal
+    to the oracle's, which is why a float similarity can be
+    hash-checked at all.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine_spark(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (a.la == b.lb) & (a.vec_a < b.vec_b))
+        .filter(cos >= _COSINE_NEARDUP)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("la").cast("int").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
