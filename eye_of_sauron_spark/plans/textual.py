@@ -1,0 +1,293 @@
+"""Text-analysis operators over the ``documents`` corpus: term
+statistics, language-ID heuristic, quality scoring, token counting,
+and document fingerprinting.
+
+LLM-training-data-pipeline operators (SURVEY.md §2 Part B last row).
+All token work uses built-in split/explode/higher-order functions —
+JVM-side, no Python UDFs. At 100 TB each of these is a narrow per-doc
+computation followed by one partial+final aggregate; the explode-based
+ones (term stats) shuffle O(tokens) rows but combine map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_duck, tokens_spark
+from ..sources import load_table
+from .registry import query
+
+# Disjoint marker-token sets per language for the n-gram-frequency
+# language-ID heuristic. The fixture corpus is a synthetic token soup
+# with langs assigned independently of content (FIXTURES.md), so this
+# exercises the *operator* (portable scoring + argmax), not a real
+# language model — swap real stopword lists in production.
+_LANG_MARKERS = {
+    "de": ("scan", "column", "window"),
+    "en": ("the", "a", "row"),
+    "es": ("order", "sort", "part"),
+    "fr": ("join", "merge", "query"),
+    "zh": ("hash", "stream", "filter"),
+}
+_STOPWORDS = ("the", "a")
+_QUALITY_KEEP = 0.7
+
+_FP_MOD = 10**17  # fold modulus: _FP_MOD * 31 + 2^32 stays under 2^63
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _marker_score_spark(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.aggregate(
+        F.transform(toks, lambda t: F.when(t.isin(*markers), 1).otherwise(0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _marker_score_duck(toks: str, markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"list_sum(list_transform({toks}, "
+        f"t -> CASE WHEN t IN ({inlist}) THEN 1 ELSE 0 END))"
+    )
+
+
+@query(
+    "text_term_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_duck('text')}) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df,
+           round(count(*) / (SELECT n FROM tot), 6) AS share
+    FROM toks
+    GROUP BY term
+    ORDER BY tf DESC, term ASC
+    LIMIT 20
+    """,
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: tokenize -> explode -> tf/df/share,
+    top-20 terms. The shuffle carries (term, partial counts) only;
+    the top-k is TakeOrdered, not a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("term"))
+    total = toks.groupBy().agg(F.count("*").alias("n"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+_LANG_ORACLE_SCORES = ",\n               ".join(
+    f"{_marker_score_duck('toks', m)} AS s_{lang}"
+    for lang, m in sorted(_LANG_MARKERS.items())
+)
+_LANG_ORACLE_MAX = "greatest(" + ", ".join(
+    f"s_{lang}" for lang in sorted(_LANG_MARKERS)
+) + ")"
+_LANG_ORACLE_PICK = "CASE " + " ".join(
+    f"WHEN s_{lang} = {_LANG_ORACLE_MAX} THEN '{lang}'"
+    for lang in sorted(_LANG_MARKERS)
+) + " END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH m AS (
+        SELECT lang, {tokens_duck('text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               {_LANG_ORACLE_SCORES}
+        FROM m
+    )
+    SELECT lang, {_LANG_ORACLE_PICK} AS predicted, count(*) AS n_docs
+    FROM scored
+    GROUP BY lang, predicted
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each doc against per-language
+    marker-token lists (occurrence-weighted), predict the argmax
+    (alphabetical tie-break), and cross-tab predictions against the
+    labeled lang — the confusion-matrix shape of a corpus lang filter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    scored = docs.select(
+        "lang",
+        *[
+            _marker_score_spark(toks, m).alias(f"s_{lang}")
+            for lang, m in sorted(_LANG_MARKERS.items())
+        ],
+    )
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(_LANG_MARKERS)])
+    predicted = None
+    for lang in sorted(_LANG_MARKERS):
+        cond = F.col(f"s_{lang}") == mx
+        predicted = (
+            F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
+        )
+    return (
+        scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source, {tokens_duck('text')} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tok,
+               {_marker_score_duck('toks', _STOPWORDS)} * 1.0 / len(toks) AS stop_ratio,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+               0.35 * least(len(toks) / 60.0, 1.0)
+                 + 0.35 * (1 - {_marker_score_duck('toks', _STOPWORDS)} * 1.0 / len(toks))
+                 + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)) AS quality
+        FROM m
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN quality >= {_QUALITY_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           round(avg(quality), 6) AS avg_quality,
+           round(avg(diversity), 6) AS avg_diversity
+    FROM q
+    GROUP BY source
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length saturation, stopword
+    ratio, lexical diversity) with a keep/drop threshold — the quality
+    filter stage of a training-data pipeline, aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = _marker_score_spark(toks, _STOPWORDS) * 1.0 / n_tok
+    diversity = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    quality = (
+        0.35 * F.least(n_tok / 60.0, F.lit(1.0))
+        + 0.35 * (1 - stop_ratio)
+        + 0.3 * diversity
+    )
+    return (
+        docs.select("source", quality.alias("quality"), diversity.alias("diversity"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("quality") >= _QUALITY_KEEP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("diversity"), 6).alias("avg_diversity"),
+        )
+    )
+
+
+_TOKEN_RX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len({tokens_duck('text')})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
+               AS re_tokens,
+           round(avg(n_chars * 1.0 / len({tokens_duck('text')})), 6)
+               AS avg_chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    lexer (letter runs | digit runs | single symbols) — the
+    token-budget accounting stage of a data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(tokens_spark(F.col("text")))
+    re_toks = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RX), F.lit(0)))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(re_toks).cast("bigint").alias("re_tokens"),
+        F.round(F.avg(F.col("n_chars") * 1.0 / ws), 6).alias("avg_chars_per_token"),
+    )
+
+
+_H32_TOK = (
+    "list_reduce(list_transform(string_split(substr(md5(t), 1, 8), ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               len({tokens_duck('text')}) AS n_tokens,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({tokens_duck('text')}, t -> {_H32_TOK})),
+                   (acc, h) -> (acc * 31 + h) % {_FP_MOD}) AS fingerprint
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_distinct_fp,
+           CAST(min(fingerprint) AS BIGINT) AS min_fp,
+           CAST(max(fingerprint) AS BIGINT) AS max_fp
+    FROM fp
+    GROUP BY lang
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: rolling polynomial fold
+    (base 31 mod 1e17) over per-token portable hashes. Unlike the
+    shingle/jaccard operators this is sequence-aware — re-ordered
+    tokens produce different fingerprints, equal texts collide.
+    One 8-byte state per doc regardless of doc length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    fp = F.aggregate(
+        F.transform(toks, tok_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % _FP_MOD,
+    )
+    return (
+        docs.select("lang", fp.alias("fingerprint"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+            F.min("fingerprint").cast("bigint").alias("min_fp"),
+            F.max("fingerprint").cast("bigint").alias("max_fp"),
+        )
+    )

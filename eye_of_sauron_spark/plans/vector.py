@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table: brute-force top-k
+cosine and a random-hyperplane-LSH bucketed variant.
+
+The reference's one similarity operator is the per-frame euclidean
+face match against broadcast targets (src/prediction_producer.py:
+314-325) — a brute-force scan of a small target set. Generalized here
+to top-k over a corpus:
+
+- ``similarity_topk_cosine`` is the exact baseline: broadcast the
+  (small) query set against the full corpus, one window per query for
+  the top-k. At 100 TB the corpus side streams through executors with
+  the queries broadcast — no corpus shuffle at all until the final
+  per-query k-row aggregation.
+- ``similarity_topk_lsh`` is the scale path: 8 deterministic random
+  hyperplanes give every vector an 8-bit sign signature; candidates
+  are only the corpus vectors in the query's bucket (expected 1/256 of
+  the corpus), traded against recall. Signatures are portable
+  arithmetic, so even this approximate operator is oracle-checked.
+
+Spark has no ANN index; both shapes are the standard Spark answers
+(LSH bucketing mirrors MLlib's BucketedRandomProjectionLSH, rebuilt
+here with pure SQL expressions so DuckDB can verify it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vector import cosine_duck, cosine_spark, dot_duck, dot_spark
+from ..sources import load_table
+from .registry import query
+
+_TOPK = 5
+_LSH_TOPK = 3
+_QUERY_FILTER = "vec_id % 50 = 0"  # 10 query vectors per 500 rows
+_DIM = 64
+_N_PLANES = 8
+
+# Deterministic pseudo-random hyperplanes (values in [-9, 9]); inlined
+# as literals on BOTH engines so the bucketing matches bit-for-bit.
+_PLANES: list[list[int]] = [
+    [((p * 37 + j * 101) % 19) - 9 for j in range(_DIM)] for p in range(_N_PLANES)
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _plane_lit_spark(p: int):
+    return F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+
+
+def _plane_lit_duck(p: int) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in _PLANES[p]) + "]"
+
+
+def _sig_spark(emb):
+    sig = F.lit(0)
+    for p in range(_N_PLANES):
+        sig = sig + F.when(dot_spark(emb, _plane_lit_spark(p)) > 0, 2**p).otherwise(0)
+    return sig
+
+
+def _sig_duck(emb: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {dot_duck(emb, _plane_lit_duck(p))} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"({terms})"
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE {_QUERY_FILTER}
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS cid,
+               {cosine_duck('q.qe', 'c.embedding')} AS cos
+        FROM q, embeddings c
+        WHERE c.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+           cid AS cand_id, round(cos, 6) AS cosine
+    FROM ranked WHERE rn <= {_TOPK}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine: broadcast query set x corpus
+    scan, per-query ranking window. The corpus never shuffles until
+    rows are already down to O(queries x k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos = cosine_spark(F.col("qe"), F.col("ce"))
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid").alias("cand_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_sig_duck('embedding')} AS sig
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe, sig FROM sigs
+        WHERE {_QUERY_FILTER}
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS cid,
+               {cosine_duck('q.qe', 'c.embedding')} AS cos
+        FROM q JOIN sigs c ON c.sig = q.sig AND c.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+           cid AS cand_id, round(cos, 6) AS cosine
+    FROM ranked WHERE rn <= {_LSH_TOPK}
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures bucket the
+    corpus; each query only scores its own bucket (equi-join on the
+    signature). Recall is probabilistic — queries whose neighbors land
+    across a hyperplane miss them — which is the standard
+    accuracy/cost dial; the candidate join is an equi shuffle join on
+    sig, scaling as O(corpus/2^planes) pairs per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", "embedding", _sig_spark(F.col("embedding")).alias("sig"))
+    q = sigs.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig"
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "sig"
+    )
+    cos = cosine_spark(F.col("qe"), F.col("ce"))
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(q), ["sig"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LSH_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid").alias("cand_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
