@@ -1,0 +1,55 @@
+"""The standing-query pipeline analog: stream-static broadcast join,
+per-key sink routing, checkpointed exactly-once file sink.
+
+Reference mapping:
+- A5  broadcast query ingestion (src/prediction_producer.py:222-228,
+  web/views.py:165-169): the matcher blocks until target faces are
+  broadcast; here the targets are a small static DataFrame joined to
+  the stream — an empty static side simply yields no output rather
+  than blocking.
+- A9  per-camera result topics (``predicted_..._{cam}``,
+  src/params.py:17, prediction_producer.py:269-271): a computed
+  ``topic`` column; the Kafka sink routes per-row on it, and the file
+  sink below materializes the identical layout with partitionBy.
+- A10 manual per-message offset commits (prediction_producer.py:
+  109-111): replaced by the checkpoint location — re-running a
+  drained stream emits nothing new (verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOPIC_PREFIX = "predicted_object_raw_frame_topic_"
+
+
+def match_stream(events: DataFrame, targets: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: keep only events whose user is a
+    broadcast target (the standing query's match stage), tag each row
+    with its routing topic."""
+    return (
+        events.join(F.broadcast(targets), "user_id")
+        .withColumn(
+            "topic",
+            F.concat(F.lit(TOPIC_PREFIX), (F.col("user_id") % 4).cast("string")),
+        )
+    )
+
+
+def run_routed_file_sink(
+    routed: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Checkpointed availableNow drain into a topic-partitioned file
+    sink (the Kafka-sink stand-in: one directory per topic)."""
+    q = (
+        routed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch, _eid: batch.write.mode("append")
+            .partitionBy("topic")
+            .parquet(out_dir)
+        )
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,220 @@
+"""Structured Streaming behavior tests.
+
+Each test drives a REAL stream (file source, one file per
+micro-batch, availableNow trigger) and checks semantics the DuckDB
+oracle cannot express: stream/batch equivalence of windowed
+aggregations, watermark late-data drop, the stateful reorder buffer,
+and checkpointed exactly-once sink delivery.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eye_of_sauron_spark.sources import load_table
+from eye_of_sauron_spark.streaming import windows
+from eye_of_sauron_spark.streaming.harness import (
+    file_stream,
+    run_to_memory,
+    write_microbatch_files,
+)
+from eye_of_sauron_spark.streaming.pipeline import match_stream, run_routed_file_sink
+from eye_of_sauron_spark.streaming.reorder import reorder_stream
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 time-ordered micro-batch files."""
+    out = str(tmp_path_factory.mktemp("event_stream"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    quarters = events.withColumn(
+        "b", F.ntile(4).over(__import__("pyspark").sql.window.Window.orderBy("ts"))
+    )
+    batches = [
+        quarters.filter(F.col("b") == i).drop("b") for i in range(1, 5)
+    ]
+    write_microbatch_files(spark, batches, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def event_schema(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .schema
+    )
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir, event_stream_dir, event_schema, tmp_path):
+    """The same tumbling-window aggregation over a 4-micro-batch
+    stream (complete mode) must equal the batch result — the
+    stream/batch unification contract."""
+    stream = file_stream(spark, event_stream_dir, event_schema)
+    got = run_to_memory(
+        windows.tumbling_agg(stream),
+        "tumbling_sink",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    want = windows.tumbling_agg(
+        load_table(spark, sf_dir, "events")
+    )
+    cols = ["w_start", "event_type", "n_events", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_equals_batch_session(spark, sf_dir, event_stream_dir, event_schema, tmp_path):
+    """Session windows across micro-batch boundaries must merge into
+    the same sessions the batch plan produces."""
+    stream = file_stream(spark, event_stream_dir, event_schema)
+    got = run_to_memory(
+        windows.session_agg(stream),
+        "session_sink",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    want = windows.session_agg(load_table(spark, sf_dir, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed count with a 5-minute watermark: a row
+    arriving two batches late (event time far behind the advanced
+    watermark) must be dropped from its already-finalized window."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minute, event_id):
+        return Row(
+            event_id=event_id,
+            ts=t0 + dt.timedelta(minutes=minute),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+        )
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    batches = [
+        [ev(1, 1), ev(2, 2)],  # window [00:00, 01:00)
+        [ev(70, 3)],  # after this batch the watermark advances to 01:05
+        [ev(140, 5)],  # window 1 is evicted + emitted during this batch
+        [ev(3, 4), ev(210, 6)],  # ev(3) is LATE: behind the batch-start watermark
+        [ev(280, 7)],  # flush
+    ]
+    src = str(tmp_path / "late_src")
+    write_microbatch_files(
+        spark, [spark.createDataFrame(b, schema) for b in batches], src
+    )
+
+    stream = file_stream(spark, src, schema)
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    got = run_to_memory(agg, "late_sink", str(tmp_path / "ckpt"), "append")
+    counts = {r["w_start"]: r["n"] for r in got.collect()}
+    # the first window must have finalized with 2 rows: event_id=4
+    # (event time 00:03, watermark already past 01:05) was dropped
+    assert counts[t0] == 2
+
+
+def test_reorder_buffer_restores_total_order(spark, tmp_path):
+    """Out-of-order frames across micro-batches come out in exact
+    frame_num order per camera, with bounded state (A11 semantics)."""
+    rows = {
+        0: [(0, 1), (0, 0), (1, 2)],  # (camera, frame)
+        1: [(0, 4), (1, 0), (1, 1), (0, 3)],
+        2: [(0, 2), (1, 3), (0, 5), (1, 4)],
+    }
+    schema = "camera INT, frame_num INT, payload STRING"
+    batches = [
+        spark.createDataFrame(
+            [Row(camera=c, frame_num=f, payload=f"{c}:{f}") for c, f in rs], schema
+        )
+        for rs in rows.values()
+    ]
+    src = str(tmp_path / "frames_src")
+    write_microbatch_files(spark, batches, src)
+
+    out = run_to_memory(
+        reorder_stream(file_stream(spark, src, schema), buffer_size=16),
+        "reorder_sink",
+        str(tmp_path / "ckpt"),
+        "append",
+    ).collect()
+    by_cam: dict[int, list[int]] = {}
+    for r in out:
+        by_cam.setdefault(r["camera"], []).append(r["frame_num"])
+        assert r["payload"] == f"{r['camera']}:{r['frame_num']}"
+    # per-camera output order is the memory-sink insertion order per
+    # batch; frames 0..5 / 0..4 all became contiguous so all emitted
+    assert by_cam[0] == [0, 1, 2, 3, 4, 5]
+    assert by_cam[1] == [0, 1, 2, 3, 4]
+
+
+def test_reorder_buffer_overflow_skips_gap(spark, tmp_path):
+    """A permanently missing frame must not wedge the camera forever:
+    when pending exceeds buffer_size the operator skips to the
+    smallest buffered frame (reference bounded-heap behavior)."""
+    # frame 0 never arrives; frames 1..6 buffer up, buffer_size=4
+    batches_rows = [[(0, f) for f in (3, 1, 2)], [(0, f) for f in (6, 4, 5)]]
+    schema = "camera INT, frame_num INT, payload STRING"
+    batches = [
+        spark.createDataFrame(
+            [Row(camera=c, frame_num=f, payload=f"{c}:{f}") for c, f in rs], schema
+        )
+        for rs in batches_rows
+    ]
+    src = str(tmp_path / "gap_src")
+    write_microbatch_files(spark, batches, src)
+    out = run_to_memory(
+        reorder_stream(file_stream(spark, src, schema), buffer_size=4),
+        "gap_sink",
+        str(tmp_path / "ckpt"),
+        "append",
+    ).collect()
+    assert sorted(r["frame_num"] for r in out) == [1, 2, 3, 4, 5, 6]
+
+
+def test_stream_static_join_and_routing_checkpoint(spark, sf_dir, event_stream_dir, event_schema, tmp_path):
+    """Stream-static broadcast join (A5) + per-key topic routing (A9)
+    + checkpointed exactly-once sink (A10): a second run over the same
+    checkpoint must write nothing new."""
+    targets = spark.createDataFrame(
+        [Row(user_id=i, target_name=f"user_{i}") for i in range(0, 30, 3)]
+    )
+    out_dir, ckpt = str(tmp_path / "routed"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = file_stream(spark, event_stream_dir, event_schema)
+        run_routed_file_sink(match_stream(stream, targets), out_dir, ckpt)
+
+    run()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first > 0
+    topics = {r["topic"] for r in first.select("topic").distinct().collect()}
+    assert all(t.startswith("predicted_object_raw_frame_topic_") for t in topics)
+    # partition layout on disk mirrors per-camera topics
+    assert any(d.startswith("topic=") for d in os.listdir(out_dir))
+    # expected content: events whose user_id is a broadcast target
+    events = load_table(spark, sf_dir, "events")
+    expected = events.filter(F.col("user_id").isin([i for i in range(0, 30, 3)])).count()
+    assert n_first == expected
+
+    run()  # same checkpoint, no new input -> no duplicates
+    assert spark.read.parquet(out_dir).count() == n_first
