@@ -50,3 +50,21 @@ def cosine_spark(a: Column, b: Column) -> Column:
 
 def cosine_duck(a: str, b: str) -> str:
     return f"({dot_duck(a, b)} / ({l2_duck(a)} * {l2_duck(b)}))"
+
+
+def euclid_spark(a: Column, b: Column) -> Column:
+    """sqrt(sum((a-b)^2)) — the reference's face-match metric
+    (src/prediction_producer.py:314-325), as a codegen'd fold."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(_sum(d))
+
+
+def euclid_duck(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))"
+    )
