@@ -15,12 +15,16 @@ Layout
 - ``functions``  : column-level function library — vector math over
                    array<float>, text analysis, tensor codec (the
                    reference's base64 triple), JSON helpers.
-- ``operators``  : composite dataflow operators — joins (incl. as-of /
-                   range / theta), top-k, dedup (exact, MinHash-LSH,
-                   SimHash, n-gram Jaccard), similarity search, sessionize.
-- ``plans``      : the query registry: every operator exposed as a named
-                   ``(spark, sf_dir) -> DataFrame`` with matching DuckDB
-                   oracle SQL (consumed by ``__spark_entry__``).
+- ``operators``  : non-relational composite operators — multimodal
+                   binary-column codec / mapInPandas decode / frame
+                   sampling, batch partitioned/routed sinks.
+- ``plans``      : the query registry and every relational operator —
+                   joins (incl. as-of / interval / theta), aggregation,
+                   windows, dedup (exact, MinHash-LSH, SimHash, n-gram
+                   Jaccard, embedding-cosine), similarity search, text
+                   analysis — each a named ``(spark, sf_dir) ->
+                   DataFrame`` with matching DuckDB oracle SQL
+                   (consumed by ``__spark_entry__``).
 - ``streaming``  : Structured Streaming pipelines — the face-pipeline
                    analog (detect → broadcast-match → route), watermarked
                    windows, stateful per-key reorder buffer.

@@ -1,0 +1,212 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata,
+decoded/sampled via Arrow-batched ``mapInPandas``.
+
+The reference ships every frame as a base64 tensor triple
+(src/utils.py:248-264: bytes + shape + dtype) and decodes with cv2
+(src/utils.py:24-28, prediction_producer.py:137). Real image/audio
+libraries are not in this container, so the codec here is a
+deterministic fake container format — ``IMG1`` header, big-endian
+dims, raw payload — while everything Spark-side is production-shaped:
+BinaryType columns built by JVM expressions, metadata structs,
+``mapInPandas`` decode with schema'd 1->1 and 1->N output, and DuckDB
+oracles that re-derive the expected metadata through independent
+arithmetic (the round-trip check).
+
+Scale notes: encode is whole-stage-codegen'd expression work; decode
+and frame-sampling are narrow ``mapInPandas`` passes (no shuffle), so
+both scale linearly with input splits. Binary payloads ride Arrow
+buffers between JVM and Python — no base64 inflation like the
+reference's JSON transport.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+_MAGIC = b"IMG1"
+_PAYLOAD_CAP = 64
+_FRAME_BYTES = 8
+_FRAME_STEP = 3
+_VIDEO_FILTER = "event_id % 50 = 0"
+
+
+def decode_image_real(payload: bytes):
+    """Real image decode — requires an imaging library this container
+    does not ship. STUB: swap in PIL/cv2 in production."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL/cv2; use the IMG1 fake codec "
+            "(encode_images/image_stats) in this environment"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open here")
+
+
+def _be16(col: Column) -> Column:
+    return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+
+def encode_images(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, image BinaryType, meta struct). The IMG1
+    container is assembled entirely with JVM expressions: magic,
+    2-byte width/height, 1-byte channels, then the first 64 text
+    bytes as payload."""
+    width = (F.lit(16) + F.col("n_chars") % 32).cast("int")
+    height = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    image = F.concat(
+        F.lit(_MAGIC),
+        _be16(width),
+        _be16(height),
+        F.unhex(F.lpad(F.hex(F.lit(3)), 2, "0")),
+        F.encode(F.substring("text", 1, _PAYLOAD_CAP), "utf-8"),
+    )
+    return docs.select(
+        "doc_id",
+        image.alias("image"),
+        F.struct(
+            width.alias("width"), height.alias("height"), F.lit(3).alias("channels")
+        ).alias("meta"),
+    )
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Decode the IMG1 container batch-wise and emit per-image stats.
+    1->1 ``mapInPandas``: header parse + payload measurements happen
+    in Python over Arrow batches, never per-row over the wire."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(blob)
+                assert b[:4] == _MAGIC, "bad magic"
+                w, h = struct.unpack(">HH", b[4:8])
+                ch = b[8]
+                payload = b[9:]
+                rows.append(
+                    (int(doc_id), w, h, ch, w * h * ch, len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_pixels",
+                    "payload_len",
+                ],
+            )
+
+    return images.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, channels int, "
+        "n_pixels int, payload_len int",
+    )
+
+
+@query(
+    "multimodal_image_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 + n_chars % 32 AS INT) AS width,
+           CAST(16 + doc_id % 32 AS INT) AS height,
+           3 AS channels,
+           CAST((16 + n_chars % 32) * (16 + doc_id % 32) * 3 AS INT) AS n_pixels,
+           CAST(least({_PAYLOAD_CAP}, n_chars) AS INT) AS payload_len
+    FROM documents
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip check: encode documents into IMG1 binaries with JVM
+    expressions, decode them back in mapInPandas; the oracle derives
+    the same stats by independent arithmetic on the source columns —
+    any codec asymmetry breaks the hash."""
+    return image_stats(encode_images(load_table(spark, sf_dir, "documents")))
+
+
+def build_videos(events: DataFrame) -> DataFrame:
+    """events -> (event_id, video BinaryType, n_frames). A "video" is
+    1 + event_id % 12 concatenated 8-byte frames; byte j of frame i
+    is (event_id*7 + i*13 + j) % 256 — closed-form, so the sampling
+    oracle can recompute checksums without touching bytes. The binary
+    is genuinely assembled JVM-side via a higher-order aggregate."""
+    n_frames = (F.lit(1) + F.col("event_id") % 12).cast("int")
+
+    def frame(i: Column) -> Column:
+        return F.concat(
+            *[
+                F.unhex(
+                    F.lpad(
+                        F.hex(
+                            (F.col("event_id") * 7 + i * 13 + F.lit(j)) % 256
+                        ),
+                        2,
+                        "0",
+                    )
+                )
+                for j in range(_FRAME_BYTES)
+            ]
+        )
+
+    video = F.aggregate(
+        F.sequence(F.lit(0), n_frames - 1),
+        F.lit(b""),
+        lambda acc, i: F.concat(acc, frame(i)),
+    )
+    return events.filter(F.expr(_VIDEO_FILTER)).select(
+        "event_id", video.alias("video"), n_frames.alias("n_frames")
+    )
+
+
+def sample_frames(videos: DataFrame, step: int = _FRAME_STEP) -> DataFrame:
+    """1->N ``mapInPandas``: split each video into 8-byte frames and
+    emit every ``step``-th with its byte checksum."""
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for event_id, blob in zip(pdf["event_id"], pdf["video"]):
+                b = bytes(blob)
+                for i in range(0, len(b) // _FRAME_BYTES, step):
+                    fr = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    ids.append(int(event_id))
+                    idxs.append(i)
+                    sums.append(sum(fr))
+            yield pd.DataFrame(
+                {"event_id": ids, "frame_idx": idxs, "checksum": sums}
+            )
+
+    return videos.mapInPandas(
+        sampler, "event_id long, frame_idx int, checksum int"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, CAST(1 + event_id % 12 AS INT) AS n_frames
+        FROM events WHERE {_VIDEO_FILTER}
+    )
+    SELECT v.event_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST({' + '.join(f'(v.event_id*7 + i*13 + {j}) % 256'
+                            for j in range(_FRAME_BYTES))} AS INT) AS checksum
+    FROM v, unnest(range(0, v.n_frames, {_FRAME_STEP})) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip check for the video path: JVM-built frame blobs,
+    mapInPandas every-3rd-frame sampling, checksums re-derived by the
+    oracle in closed form."""
+    return sample_frames(build_videos(load_table(spark, sf_dir, "events")))

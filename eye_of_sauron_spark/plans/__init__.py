@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     window,
 )
 from .. import ml  # noqa: F401  (registers ml_* queries)
+from .. import operators  # noqa: F401  (registers multimodal_* queries)
 from .. import streaming  # noqa: F401  (registers stream_* queries)
 from .registry import all_oracles, all_queries, get
 

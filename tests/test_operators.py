@@ -1,0 +1,75 @@
+"""Multimodal codec and batch-sink tests: IMG1 round-trip fidelity,
+1->N frame sampling, NotImplementedError gate for real decode, and
+partition-pruned read-back of the routed parquet sink."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from eye_of_sauron_spark.operators.multimodal import (
+    build_videos,
+    decode_image_real,
+    encode_images,
+    image_stats,
+    sample_frames,
+)
+from eye_of_sauron_spark.operators.sinks import read_partitioned, write_partitioned
+from eye_of_sauron_spark.sources import load_table
+
+
+def test_img1_binary_layout(spark, sf_dir):
+    row = (
+        encode_images(load_table(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    b = bytes(row.image)
+    assert b[:4] == b"IMG1"
+    w, h = struct.unpack(">HH", b[4:8])
+    assert (w, h, b[8]) == (row.meta.width, row.meta.height, row.meta.channels)
+    assert 9 < len(b) <= 9 + 64  # payload present, capped at 64 bytes
+
+
+def test_image_stats_matches_meta(spark, sf_dir):
+    enc = encode_images(load_table(spark, sf_dir, "documents"))
+    joined = image_stats(enc).join(enc.select("doc_id", "meta"), "doc_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("meta.width"))
+        | (F.col("height") != F.col("meta.height"))
+        | (F.col("channels") != F.col("meta.channels"))
+    ).count()
+    assert bad == 0
+
+
+def test_frame_sampling_counts(spark, sf_dir):
+    vids = build_videos(load_table(spark, sf_dir, "events"))
+    sampled = sample_frames(vids, step=3)
+    got = sampled.groupBy("event_id").count()
+    expect = vids.select(
+        "event_id", F.ceil(F.col("n_frames") / 3).cast("long").alias("expected")
+    )
+    bad = got.join(expect, "event_id").filter("count != expected").count()
+    assert bad == 0
+    # frame indices are the sampled arithmetic progression
+    assert sampled.filter("frame_idx % 3 != 0").count() == 0
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"IMG1xxxx")
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "routed")
+    write_partitioned(events, out, ["event_type"])
+    back = read_partitioned(spark, out)
+    assert back.count() == events.count()
+    one = back.filter(F.col("event_type") == "click")
+    assert one.count() == events.filter("event_type = 'click'").count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:2000]
