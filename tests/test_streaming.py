@@ -218,3 +218,22 @@ def test_stream_static_join_and_routing_checkpoint(spark, sf_dir, event_stream_d
 
     run()  # same checkpoint, no new input -> no duplicates
     assert spark.read.parquet(out_dir).count() == n_first
+
+
+def test_rate_micro_batch_source(spark, tmp_path):
+    """Deterministic rate source: availableNow drains exactly one
+    batch of rowsPerBatch rows through the memory sink."""
+    from eye_of_sauron_spark.sources.streams import rate_micro_batch_stream
+
+    stream = rate_micro_batch_stream(spark, rows_per_batch=25, num_partitions=2)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_probe")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rate_probe")
+    assert got.count() == 25
+    assert {r.value for r in got.collect()} == set(range(25))
