@@ -50,3 +50,28 @@ def minhash_seed_spark(seed: Column, value: Column) -> Column:
 def minhash_seed_duck(seed_expr: str, value_expr: str) -> str:
     """DuckDB SQL twin of :func:`minhash_seed_spark`."""
     return f"md5(CAST({seed_expr} AS VARCHAR) || ':' || {value_expr})"
+
+
+# Universal-hash MinHash family: ONE md5 per shingle (via hex32), then
+# k independent functions h_i(x) = (a_i * x + b_i) mod P by integer
+# arithmetic — 16x less hashing than seeded-md5 per function, which is
+# the difference between rehashing the corpus k times and streaming it
+# once at 100 TB. P = 2^31 - 1 (Mersenne); a_i odd < 2^20 keeps
+# a_i * x < 2^52, exact in BIGINT on both engines.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_affine(seed: int) -> tuple[int, int]:
+    a = (2 * seed + 1) * 40_503 % (1 << 20) | 1
+    b = seed * 1_000_003 + 12_345
+    return a, b
+
+
+def minhash_u_spark(seed: int, h32: Column) -> Column:
+    a, b = minhash_affine(seed)
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_u_duck(seed: int, h32_expr: str) -> str:
+    a, b = minhash_affine(seed)
+    return f"(({a} * {h32_expr} + {b}) % {MINHASH_P})"

@@ -143,7 +143,7 @@ def frames_from_events(events: DataFrame) -> DataFrame:
     image. Payloads repeat across frames of the same (user bucket,
     event type) — the same "face" recurring across frames — so
     broadcast targets match many frames, like the reference's."""
-    return events.filter(F.expr(_FRAME_FILTER)).select(
+    frames = events.filter(F.expr(_FRAME_FILTER)).select(
         (F.col("user_id") % 8).cast("int").alias("camera"),
         F.col("event_id").alias("frame_num"),
         F.unhex(
@@ -152,6 +152,11 @@ def frames_from_events(events: DataFrame) -> DataFrame:
             )
         ).alias("payload"),
     )
+    # pin the partition count: the local fixture is one parquet split,
+    # and the byte-based AQE coalescer would serialize the pandas-UDF
+    # stages over it (tiny bytes, model-inference CPU per row)
+    n = events.sparkSession.sparkContext.defaultParallelism
+    return frames.repartition(n, "camera", "frame_num")
 
 
 def detect_embed(frames: DataFrame) -> DataFrame:
@@ -178,11 +183,22 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect. Model stubs are deterministic fakes (models.py), so the
     output is stable but not SQL-expressible: rows-only check here;
     semantics are pytest-verified in tests/test_ml.py."""
-    faces = detect_embed(frames_from_events(load_table(spark, sf_dir, "events")))
+    frames = frames_from_events(load_table(spark, sf_dir, "events"))
+    boxes_only = frames.withColumn("boxes", _detect_udf("payload")).select(
+        "camera",
+        "frame_num",
+        "payload",
+        "boxes",
+        F.posexplode_outer("boxes").alias("face_idx", "box"),
+    )
+    faces = boxes_only.withColumn("emb", _embed_one_udf("payload", "box"))
+    # embed AFTER the 4-row limit: picking targets needs only boxes,
+    # so the upload set costs 4 embed calls, not one per corpus face
     targets = (
-        faces.filter(F.col("box").isNotNull())
+        boxes_only.filter(F.col("box").isNotNull())
         .orderBy("frame_num", "face_idx")
         .limit(_PIPE_TARGETS)
+        .withColumn("emb", _embed_one_udf("payload", "box"))
         .withColumn(
             "target_idx",
             F.row_number().over(W.orderBy("frame_num", "face_idx")),
@@ -196,47 +212,52 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dist = euclid_spark(F.col("emb"), F.col("te"))
+    # one lineage end-to-end: payload and boxes ride through both
+    # aggregations (first()), so frames are detected exactly once and
+    # zero-face frames (null box from the outer explode) stay in the
+    # pipeline — the broadcast rows simply never satisfy the match
     matched = (
-        faces.filter(F.col("box").isNotNull())
-        .crossJoin(F.broadcast(targets))
+        faces.crossJoin(F.broadcast(targets))
         .groupBy("camera", "frame_num", "face_idx")
         .agg(
+            F.first("payload").alias("payload"),
+            F.first("boxes").alias("boxes"),
             F.first("box").alias("box"),
             F.min(
-                F.when(dist <= _PIPE_TOL, F.struct(F.col("target_idx"), F.col("tname")))
+                F.when(
+                    F.col("box").isNotNull() & (dist <= _PIPE_TOL),
+                    F.struct(F.col("target_idx"), F.col("tname")),
+                )
             ).alias("m"),
         )
         .select(
             "camera",
             "frame_num",
             "face_idx",
+            "payload",
+            "boxes",
             "box",
-            F.coalesce(F.col("m.tname"), F.lit("Unknown")).alias("name"),
+            F.when(F.col("box").isNull(), F.lit(None))
+            .otherwise(F.coalesce(F.col("m.tname"), F.lit("Unknown")))
+            .alias("name"),
         )
     )
     per_frame = matched.groupBy("camera", "frame_num").agg(
-        F.sort_array(
-            F.collect_list(F.struct("face_idx", "box", "name"))
-        ).alias("fs")
+        F.first("payload").alias("payload"),
+        F.first("boxes").alias("boxes"),
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("face_idx", "box", "name"))),
+            lambda x: x.box.isNotNull(),
+        ).alias("fs"),
     )
-    frames = frames_from_events(load_table(spark, sf_dir, "events")).withColumn(
-        "boxes", _detect_udf("payload")
-    )
-    return (
-        frames.join(per_frame, ["camera", "frame_num"], "left")
-        .select(
-            "camera",
-            "frame_num",
-            F.size("boxes").alias("n_faces"),
-            F.coalesce(F.element_at("fs.name", 1), F.lit("Unknown")).alias(
-                "prediction"
-            ),
-            F.length(
-                _annotate_udf(
-                    "payload",
-                    F.coalesce("fs.box", F.array()),
-                    F.coalesce("fs.name", F.array()),
-                )
-            ).alias("annotated_len"),
-        )
+    return per_frame.select(
+        "camera",
+        "frame_num",
+        F.size("boxes").alias("n_faces"),
+        F.coalesce(
+            F.try_element_at("fs.name", F.lit(1)), F.lit("Unknown")
+        ).alias("prediction"),
+        F.length(
+            _annotate_udf("payload", F.col("fs.box"), F.col("fs.name"))
+        ).alias("annotated_len"),
     )

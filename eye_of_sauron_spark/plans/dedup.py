@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.hashing import minhash_seed_duck, minhash_seed_spark
+from ..functions.hashing import (
+    hex32_duck,
+    hex32_spark,
+    minhash_u_duck,
+    minhash_u_spark,
+)
 from ..functions.text import shingles_duck, shingles_spark, tokens_duck, tokens_spark
 from ..functions.vector import cosine_duck, cosine_spark
 from ..sources import load_table
@@ -44,6 +49,19 @@ _COSINE_NEARDUP = 0.35
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on ``keys`` with an EXPLICIT partition count before
+    CPU-heavy narrow work. The local fixtures scan as a single parquet
+    split, which would serialize shingling/hashing on one core — and
+    the byte-based AQE coalescer would undo a bare ``repartition(key)``
+    (tiny bytes, huge per-row CPU), so the count is pinned to
+    defaultParallelism, which AQE respects. At 100 TB the exchange is
+    no-op-sized relative to the scan and also evens out skewed input
+    file sizes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
 
 
 @query(
@@ -81,21 +99,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _affine_lists() -> tuple[str, str]:
+    from ..functions.hashing import minhash_affine
+
+    pairs = [minhash_affine(s) for s in range(_MINHASH_K)]
+    return (
+        "[" + ", ".join(str(a) for a, _ in pairs) + "]",
+        "[" + ", ".join(str(b) for _, b in pairs) + "]",
+    )
+
+
+_A_LIST, _B_LIST = _affine_lists()
+
 _MINHASH_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({shingles_duck('text')}) AS shingle
         FROM documents
     ),
-    seeded AS (
-        SELECT doc_id, shingle, unnest(range(0, {_MINHASH_K})) AS seed FROM sh
+    hashed AS (
+        SELECT doc_id, {hex32_duck('shingle')} AS h FROM sh
     ),
     minh AS (
-        SELECT doc_id, seed, min({minhash_seed_duck('seed', 'shingle')}) AS mh
-        FROM seeded GROUP BY doc_id, seed
+        SELECT doc_id, s.s AS seed,
+               min(({_A_LIST}[s.s + 1] * h + {_B_LIST}[s.s + 1]) % 2147483647)
+                   AS mh
+        FROM hashed, unnest(range(0, {_MINHASH_K})) AS s(s)
+        GROUP BY doc_id, s.s
     ),
     bands AS (
-        SELECT doc_id, CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT) AS band,
-               string_agg(mh, '|' ORDER BY seed) AS sig
+        SELECT doc_id, CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT)
+                   AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
         FROM minh GROUP BY doc_id, band
     ),
     cand AS (
@@ -120,44 +154,52 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def _band_sigs(hs):
+    """All 8 banded signatures from a PRE-HASHED shingle array (one
+    md5 per shingle, materialized as its own projection so it is
+    computed once, not once per minhash function): every function is
+    then 3 integer ops over the hash array — no per-shingle explode,
+    no groupBy, no k-fold rehashing. Signature computation shuffles
+    nothing at any scale."""
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+
+    def mh(seed: int):
+        return F.array_min(F.transform(hs, lambda h: minhash_u_spark(seed, h)))
+
+    return F.array(
+        *[
+            F.concat_ws(
+                "|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: shingle -> 16 min-hashes ->
     8 banded signatures -> bucket equi-join for candidates -> exact
     jaccard verification >= 0.8.
 
-    Scale shape: signatures are O(docs x 16) rows; the candidate join
-    keys on (band, signature) so only colliding buckets meet — never
-    an all-pairs comparison. Verification joins are semi-pruned to the
-    candidate set. The reference has no dedup at all; its nearest
-    analog is 'smart' frame skipping (frame_producer.py:110-119),
-    which is exact-dup dropping at the source.
+    Scale shape: signatures are computed per-document with
+    higher-order folds (zero shuffle, O(docs x 8) band rows out); the
+    candidate join keys on (band, signature) so only colliding
+    buckets meet — never an all-pairs comparison; verification is
+    array_intersect on the two shingle arrays, joined only for the
+    (few) candidate pairs. The reference has no dedup at all; its
+    nearest analog is 'smart' frame skipping
+    (frame_producer.py:110-119), exact-dup dropping at the source.
     """
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    base = docs.select(
+        "doc_id", shingles_spark(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = base.select(
+        "doc_id", F.transform("sh", hex32_spark).alias("hs")
     )
-    seeded = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("seed"),
-    )
-    minh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(minhash_seed_spark(F.col("seed"), F.col("shingle"))).alias("mh")
-    )
-    rows_per_band = _MINHASH_K // _MINHASH_BANDS
-    bands = (
-        minh.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x.mh,
-                ),
-                "|",
-            ).alias("sig")
-        )
+    bands = hashed.select(
+        "doc_id", F.posexplode(_band_sigs(F.col("hs"))).alias("band", "sig")
     )
     a = bands.select(
         F.col("doc_id").alias("da"), F.col("band").alias("b1"), F.col("sig").alias("s1")
@@ -170,25 +212,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sa"))
-    sh_b = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sb"))
-    inter = (
-        cand.join(sh_a, "da")
-        .join(sh_b, "db")
-        .filter(F.col("sa") == F.col("sb"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
-    )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = cand.join(
+        base.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da"
+    ).join(base.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
+    i = F.size(F.array_intersect("sha", "shb"))
+    jac = i / (F.size("sha") + F.size("shb") - i)
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .filter(jac >= _JACCARD_THRESHOLD)
+        pairs.select("da", "db", jac.alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_THRESHOLD)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round("jac", 6).alias("jaccard"),
         )
     )
 
@@ -227,13 +262,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry no near-dup signal, exactly like stopwords); here the corpus
     is small enough to skip that.
     """
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.select(F.col("doc_id").alias("da"), "shingle")
-    y = sh.select(F.col("doc_id").alias("db"), "shingle")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    base = docs.select("doc_id", shingles_spark(F.col("text")).alias("sh"))
+    sh = base.select("doc_id", F.explode("sh").alias("shingle"))
+    # shingle arrays are distinct, so the postings count per doc IS the
+    # array size — no second groupBy over the postings
+    sizes = base.select("doc_id", F.size("sh").cast("bigint").alias("n"))
+    # pre-partition both postings sides on the join key with a pinned
+    # count: pair generation is CPU-bound, so don't let the byte-based
+    # coalescer shrink it
+    x = _spread(sh.select(F.col("doc_id").alias("da"), "shingle"), "shingle")
+    y = _spread(sh.select(F.col("doc_id").alias("db"), "shingle"), "shingle")
     inter = (
         x.join(y, ["shingle"])
         .filter(F.col("da") < F.col("db"))
@@ -312,34 +351,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     state vs MinHash's O(docs x k) — at the cost of weaker recall on
     heavily edited near-dups.
     """
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("tok"))
-    hashed = toks.select(
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # hash the token multiset once, then take all 32 bit-votes with
+    # per-document folds: zero shuffle until the (tiny) band join —
+    # the explode/groupBy formulation would shuffle O(docs x toks x 32)
+    hashed = docs.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
+        F.transform(
+            tokens_spark(F.col("text")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        ).alias("hs"),
     )
-    bits = (
-        hashed.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+
+    def bit_vote(j: int):
+        s = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(2**j)) != 0, 1).otherwise(-1),
         )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") == 1, 1
-                ).otherwise(-1)
-            ).alias("s")
-        )
+        return F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
+
+    simhash = sum(
+        (bit_vote(j) for j in range(_SIMHASH_BITS)), F.lit(0)
     )
-    sims = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    sims = hashed.select("doc_id", simhash.cast("bigint").alias("simhash"))
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
     banded = sims.select(
         "doc_id",
@@ -400,27 +436,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (IVF cell / LSH bucket); cosine math is the codegen'd
     zip_with/aggregate fold from functions/vector.py — bitwise equal
     to the oracle's, which is why a float similarity can be
-    hash-checked at all.
+    hash-checked at all. With only ~10 labels a bare label join would
+    run on 10 partitions regardless of cluster size, so the left side
+    is salted and the right replicated per salt — the standard skew
+    split, turning 10 join keys into 10 x _SALT.
     """
+    _SALT = 8
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
+    a = _spread(
+        emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("label").alias("la"),
+            F.col("embedding").alias("ea"),
+            (F.col("vec_id") % _SALT).alias("salt"),
+        ),
+        "la",
+        "salt",
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
+    b = _spread(
+        emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("label").alias("lb"),
+            F.col("embedding").alias("eb"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
+        ),
+        "lb",
+        "salt",
     )
     cos = cosine_spark(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, (a.la == b.lb) & (a.vec_a < b.vec_b))
-        .filter(cos >= _COSINE_NEARDUP)
+        a.join(b, (a.la == b.lb) & (a.vec_a < b.vec_b) & (a.salt == b.salt))
         .select(
             "vec_a",
             "vec_b",
             F.col("la").cast("int").alias("label"),
-            F.round(cos, 6).alias("cosine"),
+            cos.alias("cos"),
         )
+        .filter(F.col("cos") >= _COSINE_NEARDUP)
+        .select("vec_a", "vec_b", "label", F.round("cos", 6).alias("cosine"))
     )
