@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     aggregation,
     asof,
     dedup,
+    grouped,
     relational,
     scalar,
     textual,
