@@ -31,16 +31,19 @@ _GAP_MINUTES = 10
 
 
 def _session_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    ts = pdf["ts"].sort_values().reset_index(drop=True)
-    gaps = ts.diff().dt.total_seconds().fillna(0)
-    starts = (gaps >= _GAP_MINUTES * 60).astype("int64")
-    sid = starts.cumsum()
-    sizes = sid.value_counts()
+    # numpy over int64 epochs: groups are small (one user's history),
+    # so per-group overhead dominates — keep the body cheap
+    import numpy as np
+
+    us = np.sort(pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+    cuts = np.diff(us) >= _GAP_MINUTES * 60 * 1_000_000
+    bounds = np.flatnonzero(np.concatenate(([True], cuts, [True])))
+    sizes = np.diff(bounds)
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(pdf)],
-            "n_sessions": [int(sid.nunique())],
+            "n_events": [len(us)],
+            "n_sessions": [len(sizes)],
             "max_session_events": [int(sizes.max())],
         }
     )
