@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import pandas as pd
 import re
 import sys
 import time
@@ -37,10 +38,21 @@ def main() -> None:
     spark = get_spark("eye_of_sauron_spark_bench")
     queries = plans.all_queries()
 
-    # warmup: JVM, codegen, parquet footer reads
+    # warmup: JVM, codegen, parquet footer reads, and the Python UDF
+    # worker pool (so worker spawn isn't billed to whichever pandas-UDF
+    # query happens to run first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _identity(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 1000, 1, 32).select(_identity(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     t_all = time.perf_counter()

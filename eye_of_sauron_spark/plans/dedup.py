@@ -268,17 +268,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle arrays are distinct, so the postings count per doc IS the
     # array size — no second groupBy over the postings
     sizes = base.select("doc_id", F.size("sh").cast("bigint").alias("n"))
-    # pre-partition both postings sides on the join key with a pinned
-    # count: pair generation is CPU-bound, so don't let the byte-based
-    # coalescer shrink it
-    x = _spread(sh.select(F.col("doc_id").alias("da"), "shingle"), "shingle")
-    y = _spread(sh.select(F.col("doc_id").alias("db"), "shingle"), "shingle")
-    inter = (
-        x.join(y, ["shingle"])
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
+    # inverted index WITHOUT a self-join: group the postings per
+    # shingle, drop df=1 shingles (they generate no pairs — usually
+    # the vast majority), and emit the sorted (da < db) pairs with a
+    # nested-transform expression. One shuffle on shingle, one on the
+    # pair — no join hash tables, no duplicated postings scan.
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda b: F.struct(a.alias("da"), b.alias("db")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.da").alias("da"), F.col("p.db").alias("db")
+    ).agg(F.count("*").alias("i"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
