@@ -175,29 +175,26 @@ def detect_embed(frames: DataFrame) -> DataFrame:
     )
 
 
-@query("ml_face_pipeline", oracle=None)
-def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end A4->A7: detect -> embed -> broadcast first-match ->
-    per-frame annotate. Targets are the first 4 faces of the stream
-    in (frame_num, face_idx) order — a 4-row broadcast DataFrame, no
-    collect. Model stubs are deterministic fakes (models.py), so the
-    output is stable but not SQL-expressible: rows-only check here;
-    semantics are pytest-verified in tests/test_ml.py."""
-    frames = frames_from_events(load_table(spark, sf_dir, "events"))
-    boxes_only = frames.withColumn("boxes", _detect_udf("payload")).select(
+def _explode_boxes(frames: DataFrame) -> DataFrame:
+    return frames.withColumn("boxes", _detect_udf("payload")).select(
         "camera",
         "frame_num",
         "payload",
         "boxes",
         F.posexplode_outer("boxes").alias("face_idx", "box"),
     )
-    faces = boxes_only.withColumn("emb", _embed_one_udf("payload", "box"))
-    # embed AFTER the 4-row limit: picking targets needs only boxes,
-    # so the upload set costs 4 embed calls, not one per corpus face
-    targets = (
-        boxes_only.filter(F.col("box").isNotNull())
+
+
+def first_faces_targets(frames: DataFrame, k: int = _PIPE_TARGETS) -> DataFrame:
+    """The "upload set": the first k detected faces of the stream in
+    (frame_num, face_idx) order, as a k-row broadcastable DataFrame
+    (target_idx, te, tname) — no driver collect. Embedding happens
+    AFTER the limit, so it costs k embed calls, not one per face."""
+    return (
+        _explode_boxes(frames)
+        .filter(F.col("box").isNotNull())
         .orderBy("frame_num", "face_idx")
-        .limit(_PIPE_TARGETS)
+        .limit(k)
         .withColumn("emb", _embed_one_udf("payload", "box"))
         .withColumn(
             "target_idx",
@@ -210,6 +207,17 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tname"
             ),
         )
+    )
+
+
+def face_pipeline(frames: DataFrame, targets: DataFrame) -> DataFrame:
+    """A4->A7 over any (camera, frame_num, payload BinaryType) frames
+    relation and a small (target_idx, te, tname) target set: detect ->
+    per-face explode -> embed -> broadcast first-match -> per-frame
+    reassembly -> annotate. Source-agnostic: runs identically in batch
+    and inside a streaming foreachBatch (tests prove equality)."""
+    faces = _explode_boxes(frames).withColumn(
+        "emb", _embed_one_udf("payload", "box")
     )
     dist = euclid_spark(F.col("emb"), F.col("te"))
     # one lineage end-to-end: payload and boxes ride through both
@@ -261,3 +269,14 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             _annotate_udf("payload", F.col("fs.box"), F.col("fs.name"))
         ).alias("annotated_len"),
     )
+
+
+@query("ml_face_pipeline", oracle=None)
+def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A4->A7 over frames synthesized from events; targets
+    are the stream's own first 4 faces. Model stubs are deterministic
+    fakes (models.py), so the output is stable but not
+    SQL-expressible: rows-only check here; semantics are
+    pytest-verified in tests/test_ml.py."""
+    frames = frames_from_events(load_table(spark, sf_dir, "events"))
+    return face_pipeline(frames, first_faces_targets(frames))

@@ -37,6 +37,36 @@ def match_stream(events: DataFrame, targets: DataFrame) -> DataFrame:
     )
 
 
+def run_face_pipeline_stream(
+    frames_stream: DataFrame,
+    targets: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The reference's standing query as an actual stream: raw frames
+    arrive as micro-batches, each batch runs the full A4->A7 pipeline
+    (detect -> embed -> broadcast-match vs the static target set ->
+    annotate; eye_of_sauron_spark.ml.pipeline.face_pipeline) and the
+    per-camera results land partitioned (the per-camera topic layout,
+    A9) behind one checkpoint (A10). foreachBatch is sound here
+    because a frame's faces never split across batches — every face
+    comes from its frame's single input row."""
+    from ..ml.pipeline import face_pipeline
+
+    q = (
+        frames_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch, _eid: face_pipeline(batch, targets)
+            .write.mode("append")
+            .partitionBy("camera")
+            .parquet(out_dir)
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_routed_file_sink(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

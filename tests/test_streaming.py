@@ -237,3 +237,37 @@ def test_rate_micro_batch_source(spark, tmp_path):
     got = spark.table("rate_probe")
     assert got.count() == 25
     assert {r.value for r in got.collect()} == set(range(25))
+
+
+def test_streaming_face_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """A4->A7 under readStream: frames replayed as 3 micro-batches
+    through foreachBatch produce exactly the batch pipeline's rows
+    (the reference's two-process standing query, one streaming plan)."""
+    from eye_of_sauron_spark.ml.pipeline import (
+        face_pipeline,
+        first_faces_targets,
+        frames_from_events,
+    )
+
+    frames = frames_from_events(load_table(spark, sf_dir, "events"))
+    targets = first_faces_targets(frames)
+
+    batches = [
+        frames.filter(F.col("frame_num") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    src = str(tmp_path / "frames_src")
+    write_microbatch_files(spark, batches, src)
+    stream = file_stream(spark, src, frames.schema)
+    out, ckpt = str(tmp_path / "predicted"), str(tmp_path / "face_ckpt")
+    from eye_of_sauron_spark.streaming.pipeline import run_face_pipeline_stream
+
+    run_face_pipeline_stream(stream, targets, out, ckpt)
+
+    got = spark.read.parquet(out)
+    want = face_pipeline(frames, targets)
+    cols = ["camera", "frame_num", "n_faces", "prediction", "annotated_len"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # per-camera directory layout (A9) and checkpointed re-run (A10)
+    assert any(d.startswith("camera=") for d in os.listdir(out))
+    run_face_pipeline_stream(file_stream(spark, src, frames.schema), targets, out, ckpt)
+    assert spark.read.parquet(out).count() == want.count()
