@@ -111,6 +111,48 @@ def _affine_lists() -> tuple[str, str]:
 
 _A_LIST, _B_LIST = _affine_lists()
 
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT * FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT min(doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           arg_min(n_chars, doc_id) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator form of exact dedup: the SURVIVING row per content
+    hash (lowest doc_id wins) plus its copy count — what a training-
+    data pipeline actually materializes, vs dedup_exact's audit stats.
+
+    At scale: one partial-aggregated groupBy on md5(text); only the
+    keep-columns shuffle (never the text body). min(struct(...))
+    selects the keeper without a second ranking pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionAll(docs.filter(F.col("doc_id") % 7 == 0))
+    keeper = F.min(F.struct("doc_id", "lang", "source", "n_chars")).alias("m")
+    return (
+        corpus.groupBy(F.md5("text").alias("h"))
+        .agg(keeper, F.count("*").alias("n_copies"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.lang").alias("lang"),
+            F.col("m.source").alias("source"),
+            F.col("m.n_chars").alias("n_chars"),
+            F.col("n_copies"),
+        )
+    )
+
+
 _MINHASH_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({shingles_duck('text')}) AS shingle

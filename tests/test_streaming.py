@@ -271,3 +271,64 @@ def test_streaming_face_pipeline_matches_batch(spark, sf_dir, tmp_path):
     assert any(d.startswith("camera=") for d in os.listdir(out))
     run_face_pipeline_stream(file_stream(spark, src, frames.schema), targets, out, ckpt)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream equi join with time bound and watermarks on both
+    sides: clicks x same-user errors within the following hour,
+    replayed as micro-batch streams, equals the batch join."""
+    from eye_of_sauron_spark.streaming.joins import clicks_to_errors_stream_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks_b = events.filter(F.col("event_type") == "click")
+    errors_b = events.filter(F.col("event_type") == "error")
+
+    def as_stream(df, name):
+        src = str(tmp_path / name)
+        # two time-ordered micro-batches (watermark advances between)
+        mid = df.approxQuantile("event_id", [0.5], 0.0)[0]
+        write_microbatch_files(
+            spark,
+            [df.filter(F.col("event_id") <= mid), df.filter(F.col("event_id") > mid)],
+            src,
+        )
+        return file_stream(spark, src, df.schema)
+
+    joined = clicks_to_errors_stream_join(
+        as_stream(clicks_b, "clicks"), as_stream(errors_b, "errors")
+    )
+    got = run_to_memory(
+        joined, "ss_join", str(tmp_path / "ss_ckpt"), output_mode="append"
+    )
+
+    # batch reference: same condition on the static frames
+    c = clicks_b.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    e = errors_b.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    want = (
+        c.join(
+            e,
+            (c.c_user == e.e_user)
+            & (e.e_ts >= c.c_ts)
+            & (e.e_ts < c.c_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "error_id",
+            F.col("c_ts").alias("click_ts"),
+            F.col("e_ts").alias("error_ts"),
+        )
+    )
+    cols = ["user_id", "click_id", "error_id", "click_ts", "error_ts"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
