@@ -54,23 +54,30 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # best-of-2 per query: single-JVM runs accumulate GC/JIT noise that
+    # can swing one cold measurement 2-3x; the min is the stable
+    # regression signal
     times: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+    wall = round(time.perf_counter() - t_all, 3)
 
     print(
         json.dumps(
             {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
+                "metric": "sum_best_of_2_query_sec",
+                "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(times),
+                "wall_sec_incl_reruns": wall,
             }
         )
     )

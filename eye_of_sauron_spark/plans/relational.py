@@ -439,3 +439,26 @@ def filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("net_price"),
         )
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape (unpivot/melt), the inverse of
+    pivot_event_counts: one output row per (part, metric). Spark's
+    native unpivot keeps this a narrow projection — the oracle
+    restates it as the classic UNION ALL."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")

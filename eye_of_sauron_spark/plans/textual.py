@@ -291,3 +291,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fingerprint").cast("bigint").alias("max_fp"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\b(key|hash|table)\\b')) AS INT)
+               AS n_masked,
+           CAST(length(regexp_replace(text, '\\b(key|hash|table)\\b',
+                                      '[MASKED]', 'g')) AS INT) AS masked_len,
+           substr(regexp_replace(text, '\\b(key|hash|table)\\b',
+                                 '[MASKED]', 'g'), 1, 80) AS masked_prefix
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing — the PII-redaction shape of a training-data
+    pipeline (here masking jargon tokens; swap in SSN/email/phone
+    regexes in production): regexp_replace over the corpus plus a
+    regexp_extract_all count of what was masked. Narrow per-doc
+    expression work; nothing shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(key|hash|table)\b"
+    masked = F.regexp_replace("text", pat, "[MASKED]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("int")
+        .alias("n_masked"),
+        F.length(masked).cast("int").alias("masked_len"),
+        F.substring(masked, 1, 80).alias("masked_prefix"),
+    )
+
+
+@query(
+    "deterministic_sample_documents",
+    oracle="""
+    WITH rated AS (
+        SELECT *,
+               CASE WHEN lang IN ('en', 'de') THEN 20 ELSE 5 END AS pct,
+               list_reduce(list_transform(
+                   string_split(substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                   c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM rated WHERE bucket < pct
+    """,
+)
+def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by content-hash bucket — the reproducible
+    alternative to RNG sampling for training-data curation: every
+    engine, run, and scale picks the same rows (hash(doc_id) % 100
+    against a per-stratum rate: 20% for en/de, 5% otherwise). A pure
+    filter: pushes down, shuffles nothing, and composes with any
+    downstream operator."""
+    from ..functions.hashing import hex32_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.when(F.col("lang").isin("en", "de"), 20).otherwise(5)
+    bucket = hex32_spark(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))) % 100
+    return d.filter(bucket < pct).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

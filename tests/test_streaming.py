@@ -332,3 +332,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     cols = ["user_id", "click_id", "error_id", "click_ts", "error_ts"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() > 0
+
+
+def test_stream_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup with bounded state: duplicate event_ids
+    re-delivered in a later micro-batch (an at-least-once source) are
+    dropped by dropDuplicatesWithinWatermark; state evicts past the
+    watermark instead of growing forever like the reference's
+    data_dict (utils.py:50,168)."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ranked = events.withColumn("rn", F.row_number().over(W.orderBy("ts", "event_id")))
+    half = events.count() // 2
+    b1 = ranked.filter(F.col("rn") <= half).drop("rn")
+    redelivered = ranked.filter(
+        (F.col("rn") > half - 50) & (F.col("rn") <= half)
+    ).drop("rn")
+    b2 = redelivered.unionAll(ranked.filter(F.col("rn") > half).drop("rn"))
+    src = str(tmp_path / "dupes_src")
+    write_microbatch_files(spark, [b1.coalesce(1), b2.coalesce(1)], src)
+
+    deduped = (
+        file_stream(spark, src, events.schema)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    got = run_to_memory(deduped, "dd_sink", str(tmp_path / "dd_ckpt"))
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
