@@ -45,7 +45,9 @@ def l2_duck(a: str) -> str:
 
 
 def cosine_spark(a: Column, b: Column) -> Column:
-    return dot_spark(a, b) / (l2_spark(a) * l2_spark(b))
+    # try_divide: a zero-norm vector yields NULL instead of an ANSI
+    # divide-by-zero error; identical to plain division otherwise
+    return F.try_divide(dot_spark(a, b), l2_spark(a) * l2_spark(b))
 
 
 def cosine_duck(a: str, b: str) -> str:

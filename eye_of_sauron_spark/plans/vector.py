@@ -181,3 +181,118 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 3
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        ORDER BY vec_id LIMIT {_IVF_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cosine_duck('e.embedding', 'c.ce')} DESC, c.cid ASC
+                   ) AS rc
+            FROM embeddings e, cent c
+        ) WHERE rc = 1
+    ),
+    probes AS (
+        SELECT qid, qe, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qe, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_duck('q.embedding', 'c.ce')} DESC, c.cid ASC
+                   ) AS rc
+            FROM embeddings q, cent c
+            WHERE {_QUERY_FILTER.replace('vec_id', 'q.vec_id')}
+        ) WHERE rc <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.qid, a.vec_id AS cid_cand,
+               {cosine_duck('p.qe', 'a.embedding')} AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id != p.qid
+    ),
+    ranked AS (
+        SELECT qid, cid_cand, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid_cand ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+           cid_cand AS cand_id, round(cos, 6) AS cosine
+    FROM ranked WHERE rn <= {_IVF_TOPK}
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the second scale path next to LSH: a small
+    deterministic centroid set (the coarse quantizer; k-means in
+    production, the 8 lowest-vec_id vectors here) partitions the
+    corpus into cells in ONE broadcast pass; each query probes its
+    nprobe=2 nearest cells and scores only those candidates.
+
+    Scale shape: assignment is a broadcast NLJ over the centroid set
+    (narrow, no corpus shuffle) followed by one equi-join on cell —
+    candidates are O(corpus x nprobe / cells). Recall/cost dials:
+    cells up, nprobe up. All ranking windows are per-query keys, so
+    the sort state is tiny everywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    cent_cos = cosine_spark(F.col("embedding"), F.col("ce"))
+    w_cell = W.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cent_cos.alias("ccos"))
+        .withColumn("rc", F.row_number().over(w_cell))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    probes = (
+        emb.filter(F.expr(_QUERY_FILTER))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            "cid",
+            cent_cos.alias("ccos"),
+        )
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rc") <= _IVF_NPROBE)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+    cos = cosine_spark(F.col("qe"), F.col("embedding"))
+    w_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid_cand").asc())
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid_cand"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid_cand").alias("cand_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

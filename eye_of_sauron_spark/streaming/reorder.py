@@ -17,7 +17,10 @@ Here the same semantics are a keyed stateful streaming operator via
   camera until the missing frame arrives or the pending buffer
   exceeds ``buffer_size``, at which point the operator skips forward
   to the smallest buffered frame (the reference's fixed-size-heap
-  behavior when a frame is lost);
+  behavior when a frame is lost); frames arriving BEHIND the emit
+  point after such a skip are stale and dropped (watermark-style), so
+  the output is strictly increasing per camera under every arrival
+  order — property-tested in tests/test_properties.py;
 - scale: state is per-key and the operator shuffles once on camera;
   1000 cameras on 1000 executors hold one tiny heap each. This is the
   one operator Spark has no built-in for (SURVEY.md §4).
@@ -53,7 +56,12 @@ def make_reorder_fn(buffer_size: int = 64):
 
         for pdf in pdfs:
             for frame_num, payload in zip(pdf["frame_num"], pdf["payload"]):
-                pending[int(frame_num)] = payload
+                # frames behind the emit point are STALE (we already
+                # skipped past them on overflow) — drop them, like
+                # watermark late-data: emitted order stays strictly
+                # increasing and state cannot resurrect old frames
+                if int(frame_num) >= next_expected:
+                    pending[int(frame_num)] = payload
 
         out_nums: list[int] = []
         out_payloads: list[str] = []

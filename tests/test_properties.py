@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY.md §5); these pin the invariants that example tests can miss.
+
+The reorder buffer's per-group function is pure Python, so hypothesis
+can drive it through hundreds of random arrival orders and batch
+splits against a stub GroupState — no Spark session needed. The model
+stubs get the same treatment over arbitrary byte strings. One
+Spark-backed property (vector folds vs numpy) runs with few examples,
+batched into a single DataFrame per example."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eye_of_sauron_spark.ml.models import (
+    EMBED_DIM,
+    MAX_FACES,
+    detect_faces_np,
+    embed_faces_np,
+)
+from eye_of_sauron_spark.streaming.reorder import make_reorder_fn
+
+
+class _StubState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive(batches: list[list[tuple[int, str]]], buffer_size: int) -> list[int]:
+    """Feed (frame_num, payload) batches through the reorder fn with a
+    persistent stub state; return emitted frame order."""
+    fn = make_reorder_fn(buffer_size)
+    state = _StubState()
+    out: list[int] = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"frame_num": [f for f, _ in batch], "payload": [p for _, p in batch]}
+        )
+        for res in fn((0,), iter([pdf]), state):
+            out.extend(int(v) for v in res["frame_num"])
+    return out
+
+
+@given(
+    frames=st.permutations(list(range(12))),
+    splits=st.lists(st.integers(1, 11), max_size=4),
+    buffer_size=st.integers(12, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_reorder_contiguous_input_restores_total_order(frames, splits, buffer_size):
+    """Any arrival permutation of a contiguous frame range, split into
+    any micro-batches, comes out exactly 0..n-1 when the buffer can
+    hold the worst-case disorder (>= n). Smaller buffers trade
+    completeness for boundedness — covered by the gaps property."""
+    cuts = sorted(set(s for s in splits if s < len(frames)))
+    idx = [0, *cuts, len(frames)]
+    batches = [
+        [(f, f"p{f}") for f in frames[a:b]] for a, b in zip(idx, idx[1:]) if a < b
+    ]
+    out = _drive(batches, buffer_size)
+    emitted_sorted = sorted(out)
+    assert emitted_sorted == list(range(len(frames)))  # complete, no dups
+    # in-order per the skip rule: order must be increasing
+    assert out == emitted_sorted
+
+
+@given(
+    present=st.sets(st.integers(0, 30), min_size=1),
+    buffer_size=st.integers(1, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_reorder_with_gaps_never_reorders_or_duplicates(present, buffer_size):
+    """With arbitrary missing frames and a small buffer, whatever is
+    emitted must be strictly increasing, duplicate-free, and a subset
+    of what arrived; pending state stays within buffer_size."""
+    arrival = sorted(present, reverse=True)  # worst-case arrival order
+    out = _drive([[(f, f"p{f}") for f in arrival]], buffer_size)
+    assert out == sorted(set(out))
+    assert set(out) <= present
+    # the unemitted remainder is bounded by the buffer
+    assert len(present) - len(out) <= buffer_size
+
+
+@given(payload=st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_stub_models_total_and_deterministic(payload):
+    b1, b2 = detect_faces_np(payload), detect_faces_np(payload)
+    assert b1 == b2
+    assert len(b1) <= MAX_FACES - 1 if payload else b1 == []
+    for top, right, bottom, left in b1:
+        assert bottom > top and right > left
+    e = embed_faces_np(payload, b1)
+    assert embed_faces_np(payload, b1) == e
+    assert all(len(v) == EMBED_DIM for v in e)
+    assert all(0.0 <= x <= 1.0 for v in e for x in v)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32), min_size=8, max_size=8
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_vector_folds_match_numpy(spark_global, vecs):
+    """cosine_spark's left fold must agree with numpy within float
+    tolerance for arbitrary vectors (one DataFrame per example)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.functions.vector import cosine_spark
+
+    a = vecs[0]
+    rows = [Row(i=i, x=a, y=v) for i, v in enumerate(vecs[1:])]
+    df = spark_global.createDataFrame(rows)
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", cosine_spark(F.col("x"), F.col("y")).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vecs[1:]):
+        na, nv = np.array(a, dtype=np.float64), np.array(v, dtype=np.float64)
+        denom = float(np.linalg.norm(na) * np.linalg.norm(nv))
+        want = float(na @ nv / denom) if denom else float("nan")
+        g = got[i]
+        if g is None or not math.isfinite(want) or not math.isfinite(g):
+            continue  # degenerate (zero/underflowed) vectors
+        assert abs(g - want) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
