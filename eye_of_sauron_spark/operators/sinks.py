@@ -30,3 +30,22 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: rows are hash-bucketed (and optionally
+    sorted) on the join key at WRITE time, so equi-joins and
+    aggregations on that key later run with NO exchange — the
+    pay-once co-location strategy for fact tables that are joined on
+    the same key by every query. Verified in tests: a join of two
+    same-bucketed tables plans without a shuffle."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

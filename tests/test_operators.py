@@ -73,3 +73,33 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     assert one.count() == events.filter("event_type = 'click'").count()
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:2000]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key join with NO exchange —
+    the co-located join the brief's 100 TB story depends on."""
+    from eye_of_sauron_spark.operators.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick the shuffle-join
+        # path — which bucketing then satisfies without any Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
