@@ -1,0 +1,73 @@
+"""Pipeline observability — the reference's A8 latency accounting
+(``latency = now - ingest_ts`` appended per message and written to a
+per-process CSV, src/prediction_producer.py:355-361, 229-238),
+re-expressed with the engine's native metric channel:
+
+- :func:`with_latency` derives the latency column inside the plan;
+- ``df.observe(...)`` attaches aggregate metrics that the engine
+  computes *inside the running query* (no second pass, no extra
+  action);
+- :class:`MetricsListener` receives them per micro-batch via
+  ``StreamingQueryListener`` — per-batch aggregates instead of the
+  reference's per-row CSV writes, which is the only shape that
+  survives 100 TB (a metrics row per input row is itself a 100 TB
+  write amplification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+OBSERVATION = "latency_metrics"
+
+
+def latency_col(ts: Column) -> Column:
+    """Milliseconds between event time and processing wall-clock —
+    the reference's float-seconds subtraction, typed."""
+    return F.unix_millis(F.current_timestamp()) - F.unix_millis(ts)
+
+
+def with_latency(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn("latency_ms", latency_col(F.col(ts_col)))
+
+
+def observed(df: DataFrame) -> DataFrame:
+    """Attach in-query latency aggregates (rows, avg/max latency).
+    Works identically on batch and streaming DataFrames."""
+    return df.observe(
+        OBSERVATION,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("latency_ms").alias("avg_latency_ms"),
+        F.max("latency_ms").alias("max_latency_ms"),
+    )
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-micro-batch observed metrics + engine progress
+    (inputRowsPerSecond etc.) — the CSV-log analog, fed by the
+    engine's own event bus rather than per-row side effects."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        row = {
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "observed": dict(p.observedMetrics.get(OBSERVATION).asDict())
+            if p.observedMetrics.get(OBSERVATION) is not None
+            else None,
+        }
+        self.batches.append(row)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass

@@ -361,3 +361,46 @@ def test_stream_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
     got = run_to_memory(deduped, "dd_sink", str(tmp_path / "dd_ckpt"))
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_observed_latency_metrics_listener(spark, sf_dir, event_stream_dir, event_schema, tmp_path):
+    """A8 analog: latency derived in-plan, aggregates computed by
+    observe() inside the running query, delivered per micro-batch via
+    StreamingQueryListener — no per-row side-effect logging."""
+    import time
+
+    from eye_of_sauron_spark.streaming.metrics import (
+        MetricsListener,
+        observed,
+        with_latency,
+    )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = file_stream(spark, event_stream_dir, event_schema)
+        q = (
+            observed(with_latency(stream))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is asynchronous to query termination
+        for _ in range(40):
+            if sum(b["num_input_rows"] for b in listener.batches) >= 1000:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    data_batches = [b for b in listener.batches if b["num_input_rows"] > 0]
+    assert len(data_batches) >= 4  # one per micro-batch file
+    total = sum(b["num_input_rows"] for b in data_batches)
+    events = load_table(spark, sf_dir, "events")
+    assert total == events.count()
+    for b in data_batches:
+        obs = b["observed"]
+        assert obs is not None and obs["n_rows"] == b["num_input_rows"]
+        assert obs["max_latency_ms"] >= obs["avg_latency_ms"] >= 0
