@@ -306,46 +306,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     base = docs.select("doc_id", shingles_spark(F.col("text")).alias("sh"))
-    sh = base.select("doc_id", F.explode("sh").alias("shingle"))
-    # shingle arrays are distinct, so the postings count per doc IS the
-    # array size — no second groupBy over the postings
-    sizes = base.select("doc_id", F.size("sh").cast("bigint").alias("n"))
+    # shingle arrays are distinct, so each doc's postings count IS its
+    # array size — attach it BEFORE the explode so it rides the
+    # postings structs and the query needs ZERO joins (a sizes join
+    # here invites the planner to mis-broadcast the giant pair
+    # aggregate on bad post-explode estimates — observed at 10x).
+    sh = base.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("shingle")
+    )
     # inverted index WITHOUT a self-join: group the postings per
     # shingle, drop df=1 shingles (they generate no pairs — usually
-    # the vast majority), and emit the sorted (da < db) pairs with a
-    # nested-transform expression. One shuffle on shingle, one on the
-    # pair — no join hash tables, no duplicated postings scan.
+    # the vast majority), and emit the ordered (da < db) pairs with
+    # TWO explodes. The two-stage shape keeps every materialized
+    # array O(df) — a single nested flatten would build the full
+    # O(df^2) pair array of a stop-shingle in one row's memory.
     postings = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size("ds")),
-                        lambda b: F.struct(a.alias("da"), b.alias("db")),
-                    ),
-                )
-            )
-        ).alias("p")
+        "ds", F.posexplode("ds").alias("i", "a")
+    ).select(
+        "a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b")
     )
     inter = pairs.groupBy(
-        F.col("p.da").alias("da"), F.col("p.db").alias("db")
+        F.col("a.doc_id").alias("da"),
+        F.col("a.n").alias("na"),
+        F.col("b.doc_id").alias("db"),
+        F.col("b.n").alias("nb"),
     ).agg(F.count("*").alias("i"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .filter(jac >= _JACCARD_THRESHOLD)
+        inter.filter(jac >= _JACCARD_THRESHOLD)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.col("na").cast("bigint").alias("n_shingles_a"),
-            F.col("nb").cast("bigint").alias("n_shingles_b"),
+            F.col("na").alias("n_shingles_a"),
+            F.col("nb").alias("n_shingles_b"),
             F.round(jac, 6).alias("jaccard"),
         )
     )

@@ -232,3 +232,43 @@ def binary_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(bin_text)).alias("min_md5"),
         F.min(F.sha2(bin_text, 256)).alias("min_sha256"),
     )
+
+
+@query(
+    "json_serialize_roundtrip",
+    oracle="""
+    WITH msg AS (
+        SELECT event_id,
+               to_json(struct_pack(
+                   event_id := event_id,
+                   event_type := event_type,
+                   user_id := user_id
+               )) AS payload
+        FROM events
+    )
+    SELECT event_id,
+           payload,
+           CAST(length(payload) AS INT) AS payload_len,
+           payload ->> 'event_type' AS decoded_type,
+           CAST(payload ->> 'user_id' AS BIGINT) AS decoded_user
+    FROM msg
+    """,
+)
+def json_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's message serialize/deserialize cycle (A2:
+    ndarray+metadata -> JSON, frame_producer.py:172-176; decode
+    utils.py:24-28) on typed columns: to_json(struct(...)) produces
+    byte-identical wire text in both engines, then fields are
+    extracted back out of the string. Narrow expression work."""
+    e = _t(spark, sf_dir, "events")
+    msg = e.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+    return msg.select(
+        "event_id",
+        "payload",
+        F.length("payload").cast("int").alias("payload_len"),
+        F.get_json_object("payload", "$.event_type").alias("decoded_type"),
+        F.get_json_object("payload", "$.user_id").cast("bigint").alias("decoded_user"),
+    )
