@@ -33,6 +33,13 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # externally-built sessions (the correctness driver's) may carry a
+    # local timezone; timestamp semantics (window boundaries, day-of-
+    # week, epoch math) must match the UTC-naive DuckDB oracle, so pin
+    # it here — verified: a non-UTC session shifts window bounds and
+    # even row counts (date_trunc('week') crossing a week boundary)
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
         # outright (PARQUET_TYPE_ILLEGAL). Sessions built by
