@@ -356,3 +356,63 @@ def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return d.filter(bucket < pct).select(
         "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 16
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i.i AS INT) AS chunk_idx,
+               list_slice(ts, i.i * {_CHUNK_STRIDE} + 1,
+                          i.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS chunk
+        FROM toks,
+             unnest(range(0, CAST(ceil(greatest(len(ts) - {_CHUNK_TOKENS}, 0)
+                                       / {_CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS i(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           chunk[1] AS first_token,
+           chunk[len(chunk)] AS last_token,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows (size 32, stride 16) — the
+    chunking stage every LLM training-data pipeline runs before
+    tokenization. Chunk boundaries are computed per-document with
+    sequence/transform/slice (narrow, zero shuffle) and exploded to
+    one row per chunk; the final chunk is the remainder (may be short,
+    every token appears in >= 1 chunk)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    n_chunks = (
+        F.ceil(F.greatest(F.size(toks) - _CHUNK_TOKENS, F.lit(0)) / _CHUNK_STRIDE)
+        + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_TOKENS).alias("chunk"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk").cast("int").alias("n_tokens"),
+            F.element_at("c.chunk", 1).alias("first_token"),
+            F.element_at("c.chunk", F.size("c.chunk")).alias("last_token"),
+            F.array_join("c.chunk", " ").alias("chunk_text"),
+        )
+    )
