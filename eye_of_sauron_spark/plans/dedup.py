@@ -254,9 +254,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
+    # one shuffled copy of the shingle arrays feeds BOTH verify joins:
+    # the two join branches have byte-identical subplans up to this
+    # exchange, so the physical planner reuses it (ReusedExchange) —
+    # shingling runs once for verification instead of once per side
+    verify = base.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     pairs = cand.join(
-        base.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da"
-    ).join(base.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
+        verify.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da"
+    ).join(verify.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
     i = F.size(F.array_intersect("sha", "shb"))
     jac = i / (F.size("sha") + F.size("shb") - i)
     return (
