@@ -79,3 +79,20 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir):
 def test_windowed_aggs_are_partial_final(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     assert "HashAggregate" in p or "ObjectHashAggregate" in p or "SortAggregate" in p
+
+
+def test_asof_join_is_window_not_nested_loop(spark, sf_dir):
+    # batch as-of = union + per-key window scan, never a range NLJ
+    p = _plan(spark, sf_dir, "asof_join_click_before_purchase")
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_interval_join_keeps_equi_key(spark, sf_dir):
+    # the user_id equi component must anchor a hash/SMJ join; the time
+    # bounds are post-join predicates, not a nested-loop condition
+    p = _plan(spark, sf_dir, "interval_join_activity_before_error")
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
