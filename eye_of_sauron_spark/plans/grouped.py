@@ -131,3 +131,26 @@ def sql_revenue_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+_CORRELATED_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+"""
+
+
+@query("correlated_subquery_above_avg", oracle=_CORRELATED_SQL)
+def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their own nation's
+    average balance), run as raw SQL so Catalyst's decorrelation is
+    exercised: the optimizer rewrites the per-row subquery into one
+    aggregate + join — O(nations) aggregate rows, not a re-scan per
+    customer. The oracle is the identical SQL, decorrelated by
+    DuckDB's own unnesting."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
