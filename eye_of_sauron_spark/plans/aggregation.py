@@ -272,3 +272,19 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("bucket_value"),
         )
     )
+
+
+@query("sketch_quantiles_value", oracle=None)
+def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable quantile sketch) per
+    event_type — the 100 TB replacement for exact percentiles (the
+    exact path is median_percentiles_value): one partial+final
+    aggregate, sketch size O(1/accuracy), no global sort. Rows-only
+    check: sketch estimates are engine-specific;
+    tests/test_aggregates.py bounds the rank error against the exact
+    percentile instead."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        F.count("*").alias("n_events"),
+    )

@@ -30,3 +30,27 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
             approx[k],
             exact_n,
         )
+
+
+def test_sketch_quantiles_bounded_error(spark, sf_dir):
+    """approx_percentile's estimate must sit within a small rank
+    neighborhood of the exact percentile (accuracy=10000 => rank
+    error <= n/10000 per group; assert value-wise closeness)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.aggregation import sketch_quantiles_value
+    from eye_of_sauron_spark.sources import load_table
+
+    got = {
+        r["event_type"]: r["approx_pcts"]
+        for r in sketch_quantiles_value(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # the sketch guarantees RANK error (<= n/accuracy + floor effects),
+    # not value error: verify each estimate's actual rank is near q
+    for et, estimates in got.items():
+        vals = [r["value"] for r in events.filter(F.col("event_type") == et).collect()]
+        n = len(vals)
+        for q, a in zip([0.5, 0.9, 0.99], estimates):
+            rank = sum(v <= a for v in vals) / n
+            assert abs(rank - q) <= 1 / 10_000 + 2 / n + 0.005, (et, q, a, rank)
