@@ -404,3 +404,54 @@ def test_observed_latency_metrics_listener(spark, sf_dir, event_stream_dir, even
         obs = b["observed"]
         assert obs is not None and obs["n_rows"] == b["num_input_rows"]
         assert obs["max_latency_ms"] >= obs["avg_latency_ms"] >= 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_change_detector_drops_consecutive_duplicates(spark, tmp_path):
+    """A1 'smart mode' as a StatefulProcessor
+    (transformWithStateInPandas): per camera, only frames whose
+    payload differs from the last EMITTED frame survive; state
+    carries across micro-batches (the batch-2 repeat of batch-1's
+    final hash is dropped)."""
+    from eye_of_sauron_spark.streaming.change_detect import drop_unchanged_frames
+
+    schema = "camera INT, frame_num INT, payload_hash STRING"
+    b1 = [(0, 0, "a"), (0, 1, "a"), (0, 2, "b"), (1, 0, "x")]
+    b2 = [(0, 3, "b"), (0, 4, "c"), (1, 1, "x"), (1, 2, "y")]
+    batches = [
+        spark.createDataFrame(
+            [Row(camera=c, frame_num=f, payload_hash=h) for c, f, h in rs], schema
+        )
+        for rs in (b1, b2)
+    ]
+    src = str(tmp_path / "chg_src")
+    write_microbatch_files(spark, batches, src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            drop_unchanged_frames(file_stream(spark, src, schema)),
+            "chg_sink",
+            str(tmp_path / "chg_ckpt"),
+            "append",
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = sorted((r["camera"], r["frame_num"], r["payload_hash"]) for r in out)
+    assert got == [(0, 0, "a"), (0, 2, "b"), (0, 4, "c"), (1, 0, "x"), (1, 2, "y")]
