@@ -578,9 +578,16 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard large-graph CC recipe (alternating-star
     optimizations drop in when diameters grow)."""
     edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = edges.unionAll(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    sym = (
+        edges.unionAll(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        # materialize the (small) edge list once — otherwise every
+        # iteration's join re-executes the entire minhash pipeline
+        # through sym's lineage
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
