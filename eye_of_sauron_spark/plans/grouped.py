@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
 from .registry import query
@@ -31,22 +32,24 @@ _GAP_MINUTES = 10
 
 
 def _session_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    # numpy over int64 epochs: groups are small (one user's history),
-    # so per-group overhead dominates — keep the body cheap
+    """One BUCKET of users per call (see the superkey note below):
+    emit one stats row per user via a vectorized pandas groupby."""
     import numpy as np
 
-    us = np.sort(pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
-    cuts = np.diff(us) >= _GAP_MINUTES * 60 * 1_000_000
-    bounds = np.flatnonzero(np.concatenate(([True], cuts, [True])))
-    sizes = np.diff(bounds)
-    return pd.DataFrame(
-        {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(us)],
-            "n_sessions": [len(sizes)],
-            "max_session_events": [int(sizes.max())],
-        }
+    pdf = pdf.sort_values(["user_id", "ts"])
+    us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    uid = pdf["user_id"].to_numpy()
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    gap = np.concatenate(([True], np.diff(us) >= _GAP_MINUTES * 60 * 1_000_000))
+    starts = new_user | gap
+    sid = np.cumsum(starts)  # global session ids across the bucket
+    sess_sizes = np.bincount(sid)[1:]
+    sess_user = uid[starts]
+    out = pd.DataFrame({"user_id": sess_user, "n": sess_sizes})
+    agg = out.groupby("user_id", sort=False).agg(
+        n_events=("n", "sum"), n_sessions=("n", "size"), max_session_events=("n", "max")
     )
+    return agg.reset_index().astype("int64")
 
 
 @query(
@@ -84,11 +87,14 @@ def grouped_map_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 10-minute gaps. The oracle rebuilds identical sessions with
     gaps-and-islands SQL — integer outputs, exact hash match.
 
-    First event of a user starts session 0 whether via the fillna(0)
-    (no gap) or the SQL lag-IS-NULL branch; both sides then cut
-    sessions strictly at gap >= 10 min."""
+    Scale lesson encoded here: grouping by the raw user_id would pay
+    the per-group Arrow/pandas overhead once per user — ruinous with
+    millions of tiny groups. Grouping by a SUPERKEY bucket
+    (user_id % 64) ships ~1/64th of users per call and the function
+    fans back out to per-user rows with a vectorized groupby; output
+    and oracle are identical, per-call overhead amortizes 64x."""
     events = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    return events.groupBy("user_id").applyInPandas(
+    return events.groupBy((F.col("user_id") % 64).alias("bucket")).applyInPandas(
         _session_stats,
         "user_id long, n_events long, n_sessions long, max_session_events long",
     )
