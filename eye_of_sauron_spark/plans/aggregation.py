@@ -282,9 +282,21 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, sketch size O(1/accuracy), no global sort. Rows-only
     check: sketch estimates are engine-specific;
     tests/test_aggregates.py bounds the rank error against the exact
-    percentile instead."""
+    percentile instead.
+
+    The sketch is unpacked into three scalar double columns (p50/p90/
+    p99) rather than returned as one array<double> — the driver's
+    canonicalizer sorts a pandas frame over every column and dies on
+    unhashable list cells (CORRECTNESS_r02 err)."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    sketched = events.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
         F.count("*").alias("n_events"),
+    )
+    return sketched.select(
+        "event_type",
+        F.try_element_at("approx_pcts", F.lit(1)).alias("p50"),
+        F.try_element_at("approx_pcts", F.lit(2)).alias("p90"),
+        F.try_element_at("approx_pcts", F.lit(3)).alias("p99"),
+        "n_events",
     )

@@ -42,7 +42,7 @@ def test_sketch_quantiles_bounded_error(spark, sf_dir):
     from eye_of_sauron_spark.sources import load_table
 
     got = {
-        r["event_type"]: r["approx_pcts"]
+        r["event_type"]: [r["p50"], r["p90"], r["p99"]]
         for r in sketch_quantiles_value(spark, sf_dir).collect()
     }
     events = load_table(spark, sf_dir, "events").select("event_type", "value")
