@@ -569,14 +569,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jaccard >= 0.8 is NOT transitive, so pairs must be closed) and
     elect each component's keeper (its minimum doc_id).
 
-    Spark side: iterative min-label propagation — each round joins
-    labels to the symmetric edge list and takes the per-node min;
-    rounds needed = graph diameter, checked via a per-round changed
-    count (the one legitimate driver-side loop shape: the driver
-    coordinates ITERATIONS, every iteration is fully distributed).
-    The oracle closes the same graph with a recursive CTE. At 100 TB
-    this is the standard large-graph CC recipe (alternating-star
-    optimizations drop in when diameters grow)."""
+    Spark side: iterative min-label propagation with pointer jumping
+    — each round (a) takes the per-node min over neighbor labels and
+    (b) path-halves (comp := comp[comp]), so the distance a label
+    still has to travel halves per round and rounds needed are
+    O(log diameter), not O(diameter); chain-shaped clusters converge
+    in ~log2(len) rounds. The loop runs until a round changes nothing
+    (the changed-count is iteration coordination, the one legitimate
+    driver-side loop shape: every iteration is fully distributed) and
+    RAISES if the safety cap is hit — silently returning unconverged
+    labels would be wrong answers, not slow ones. The oracle closes
+    the same graph with a recursive CTE."""
     edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     sym = (
         edges.unionAll(
@@ -588,21 +591,57 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # through sym's lineage
         .localCheckpoint(eager=True)
     )
+    labels = connected_components(sym)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("node")).alias("is_keeper"),
+    )
+
+
+def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label connected components over a symmetric edge list
+    (columns ``s``, ``d``; caller should localCheckpoint it). Returns
+    (node, comp) where comp is the component's minimum node id.
+
+    ``max_rounds`` with pointer jumping covers label distances up to
+    2^max_rounds — unreachable in practice, but a loud failure beats
+    silently wrong components.
+    """
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
-    for _ in range(20):  # diameter bound; each round halves distances
+    for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.s == labels.node)
             .groupBy(F.col("d").alias("node2"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping (path halving): comp := comp[comp]. comp
+        # values are always node ids with comp[x] <= x, so following
+        # one hop through the label table itself halves the remaining
+        # distance to each component's minimum — neighbor-min alone
+        # moves labels a single edge-hop per round, which on a
+        # chain-shaped cluster needs diameter rounds and used to
+        # overrun the old fixed cap silently.
+        hop = propagated.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.comp == hop.jnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
         )
@@ -615,8 +654,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("component"),
-        (F.col("comp") == F.col("node")).alias("is_keeper"),
-    )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels

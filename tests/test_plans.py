@@ -96,3 +96,40 @@ def test_interval_join_keeps_equi_key(spark, sf_dir):
         "ShuffledHashJoin" in p
     )
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    # A 400-node chain has label eccentricity 399: one-hop neighbor-min
+    # propagation would need 399 rounds, so a 12-round cap only passes
+    # if pointer jumping (comp := comp[comp]) is actually halving the
+    # remaining distance each round (ADVICE r02: the old fixed 20-round
+    # loop silently returned unconverged labels on long chains).
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import connected_components
+
+    n = 400
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    labels = connected_components(sym, max_rounds=12).collect()
+    assert len(labels) == n
+    assert all(r["comp"] == 0 for r in labels)
+
+
+def test_connected_components_raises_when_capped(spark):
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import connected_components
+
+    edges = spark.range(63).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(sym, max_rounds=2)
