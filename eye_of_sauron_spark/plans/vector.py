@@ -40,9 +40,13 @@ _N_PLANES = 8
 
 # Deterministic pseudo-random hyperplanes (values in [-9, 9]); inlined
 # as literals on BOTH engines so the bucketing matches bit-for-bit.
-_PLANES: list[list[int]] = [
-    [((p * 37 + j * 101) % 19) - 9 for j in range(_DIM)] for p in range(_N_PLANES)
-]
+# Any plane index works (dedup's banded sub-bucketing draws 16);
+# production swaps these for Gaussian planes — the structure of the
+# plan doesn't change, only the literals.
+
+
+def _plane(p: int) -> list[int]:
+    return [((p * 37 + j * 101) % 19) - 9 for j in range(_DIM)]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,26 +54,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _plane_lit_spark(p: int):
-    return F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+    return F.array(*[F.lit(float(v)) for v in _plane(p)])
 
 
 def _plane_lit_duck(p: int) -> str:
-    return "[" + ", ".join(f"{v}.0" for v in _PLANES[p]) + "]"
+    return "[" + ", ".join(f"{v}.0" for v in _plane(p)) + "]"
 
 
-def _sig_spark(emb):
+def hyperplane_sig_spark(emb, planes):
+    """Sign-bit signature of ``emb`` against the given plane indices:
+    bit i set iff dot(emb, plane(planes[i])) > 0."""
     sig = F.lit(0)
-    for p in range(_N_PLANES):
-        sig = sig + F.when(dot_spark(emb, _plane_lit_spark(p)) > 0, 2**p).otherwise(0)
+    for i, p in enumerate(planes):
+        sig = sig + F.when(dot_spark(emb, _plane_lit_spark(p)) > 0, 2**i).otherwise(0)
     return sig
 
 
-def _sig_duck(emb: str) -> str:
+def hyperplane_sig_duck(emb: str, planes) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {dot_duck(emb, _plane_lit_duck(p))} > 0 THEN {2 ** p} ELSE 0 END)"
-        for p in range(_N_PLANES)
+        f"(CASE WHEN {dot_duck(emb, _plane_lit_duck(p))} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
     )
     return f"({terms})"
+
+
+def _sig_spark(emb):
+    return hyperplane_sig_spark(emb, range(_N_PLANES))
+
+
+def _sig_duck(emb: str) -> str:
+    return hyperplane_sig_duck(emb, range(_N_PLANES))
 
 
 @query(
