@@ -31,6 +31,7 @@ from ..functions.text import shingles_duck, shingles_spark, tokens_duck, tokens_
 from ..functions.vector import cosine_duck, cosine_spark
 from ..sources import load_table
 from .registry import query
+from .vector import hyperplane_sig_duck, hyperplane_sig_spark
 
 # MinHash parameters: 16 hash functions in 8 bands of 2 rows. With
 # band-match probability 1-(1-j^2)^8, a pair at jaccard 0.9 is caught
@@ -44,7 +45,22 @@ _SIMHASH_BITS = 32
 _SIMHASH_BAND_BITS = 8  # 4 bands; hamming <= 3 guarantees a band collides
 _HAMMING_MAX = 3
 
-_COSINE_NEARDUP = 0.35
+# Embedding near-dup parameters. 0.9 is a realistic near-dup bar; the
+# synthetic fixture has no natural pairs above cosine 0.51, so the
+# corpus re-ingests every 5th vector with a small deterministic drift
+# (the embedding analog of dedup_exact's re-crawl) — planted pairs land
+# at cosine ~0.9985. Candidate generation sub-buckets each label by a
+# 64-bit random-hyperplane signature in 8 bands of 8 bits: any pair
+# whose signatures differ in <= 7 bits collides on at least one band
+# (pigeonhole), so recall is structural for near-identical vectors;
+# measured on the fixtures, banding finds 100% of cosine>=0.9 pairs
+# while cutting candidates ~25x vs label-only (tests/test_plans.py).
+_COSINE_NEARDUP = 0.9
+_EMB_PLANES = 64
+_EMB_BANDS = 8
+_EMB_BAND_BITS = _EMB_PLANES // _EMB_BANDS
+_EMB_DRIFT = 0.005
+_EMB_COPY_OFFSET = 1_000_000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -478,64 +494,139 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic drift applied to the re-ingested copies: element j of
+# vector v moves by DRIFT * ((vec_id + j) % 5 - 2). Both engines
+# compute it with the same double ops in the same order, so the
+# drifted vectors — and every cosine downstream — are bitwise equal.
+_DRIFT_DUCK = (
+    "list_transform(list_zip(CAST(embedding AS DOUBLE[]), range(0, 64)), "
+    f"p -> p[1] + {_EMB_DRIFT} * ((vec_id + p[2]) % 5 - 2))"
+)
+
+_EMB_BAND_KEYS_DUCK = ", ".join(
+    f"{b * 256} + "
+    + hyperplane_sig_duck(
+        "emb", range(b * _EMB_BAND_BITS, (b + 1) * _EMB_BAND_BITS)
+    )
+    for b in range(_EMB_BANDS)
+)
+
 _EMB_NEARDUP_ORACLE = f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(a.label AS INT) AS label,
-           round({cosine_duck('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cosine_duck('a.embedding', 'b.embedding')} >= {_COSINE_NEARDUP}
+    WITH corpus AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_EMB_COPY_OFFSET} AS vec_id, label, {_DRIFT_DUCK} AS emb
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    sigs AS (
+        SELECT vec_id, label, unnest([{_EMB_BAND_KEYS_DUCK}]) AS bsig
+        FROM corpus
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.label AS label
+        FROM sigs a JOIN sigs b
+          ON a.label = b.label AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+    )
+    SELECT c.va AS vec_a, c.vb AS vec_b, CAST(c.label AS INT) AS label,
+           round({cosine_duck('ca.emb', 'cb.emb')}, 6) AS cosine
+    FROM cand c
+    JOIN corpus ca ON ca.vec_id = c.va
+    JOIN corpus cb ON cb.vec_id = c.vb
+    WHERE {cosine_duck('ca.emb', 'cb.emb')} >= {_COSINE_NEARDUP}
 """
+
+
+def _emb_corpus(emb: DataFrame) -> DataFrame:
+    """Original vectors (widened to double) plus a drifted copy of
+    every 5th — the duplicated-ingest corpus both engines share."""
+    orig = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    drifted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _EMB_COPY_OFFSET).alias("vec_id"),
+        "label",
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda x, j: x.cast("double")
+            + F.lit(_EMB_DRIFT) * (((F.col("vec_id") + j) % 5) - 2),
+        ).alias("emb"),
+    )
+    return orig.unionByName(drifted)
+
+
+def _emb_band_keys(emb_col):
+    """Array of 8 keyed band signatures (band*256 + 8-bit hyperplane
+    sig) — the sub-bucket join keys; see hyperplane_sig_spark."""
+    return F.array(
+        *[
+            F.lit(b * 256)
+            + hyperplane_sig_spark(
+                emb_col, range(b * _EMB_BAND_BITS, (b + 1) * _EMB_BAND_BITS)
+            )
+            for b in range(_EMB_BANDS)
+        ]
+    )
 
 
 @query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above a cosine threshold,
-    label-pruned (the equi component of the join) so candidate
-    generation is per-label, not all-pairs.
+    """Embedding-cosine near-dup over a duplicated-ingest corpus
+    (every 5th vector re-ingested with deterministic drift): pairs at
+    cosine >= 0.9, with candidate generation keyed on
+    (label, hyperplane band signature) — never label-only, never
+    all-pairs.
 
-    Scale shape: at 100 TB the label plays the role of a coarse
-    partition (IVF cell / LSH bucket); cosine math is the codegen'd
-    zip_with/aggregate fold from functions/vector.py — bitwise equal
-    to the oracle's, which is why a float similarity can be
-    hash-checked at all. With only ~10 labels a bare label join would
-    run on 10 partitions regardless of cluster size, so the left side
-    is salted and the right replicated per salt — the standard skew
-    split, turning 10 join keys into 10 x _SALT.
+    Scale shape: each vector computes a 64-bit random-hyperplane
+    signature (codegen'd literal-plane dot folds, zero shuffle) and
+    emits 8 (band, 8-bit sig) keys; candidates are an equi-join on
+    (label, band key), so a label's candidate volume drops ~64x vs the
+    label-only join (measured ~25x on the fixture) and keeps falling
+    as bands widen — the banding is pigeonhole-complete for signature
+    hamming <= 7, which planted near-identical vectors never exceed.
+    Verification joins the (few) candidate pairs back to the corpus by
+    vec_id and checks the exact cosine fold from functions/vector.py —
+    bitwise equal to the oracle's, which is why a float similarity can
+    be hash-checked at all. Reference analog: A6's broadcast face
+    match (src/prediction_producer.py:314-325), generalized to
+    corpus-scale near-dup detection.
     """
-    _SALT = 8
     emb = _t(spark, sf_dir, "embeddings")
-    a = _spread(
-        emb.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("label").alias("la"),
-            F.col("embedding").alias("ea"),
-            (F.col("vec_id") % _SALT).alias("salt"),
-        ),
-        "la",
-        "salt",
+    corpus = _spread(_emb_corpus(emb), "vec_id")
+    sigs = corpus.select(
+        "vec_id", "label", F.explode(_emb_band_keys(F.col("emb"))).alias("bsig")
     )
-    b = _spread(
-        emb.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("label").alias("lb"),
-            F.col("embedding").alias("eb"),
-            F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
-        ),
-        "lb",
-        "salt",
+    a = sigs.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), "bsig"
     )
+    b = sigs.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), "bsig"
+    )
+    cand = (
+        a.join(b, (a.la == b.lb) & (a.bsig == b.bsig) & (a.va < b.vb))
+        .select("va", "vb", "la")
+        .distinct()
+    )
+    # one shuffled copy of the corpus feeds both verify joins
+    # (byte-identical subplans -> ReusedExchange, as in minhash verify)
+    ver = corpus.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    pairs = cand.join(
+        ver.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea")), "va"
+    ).join(ver.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb")), "vb")
     cos = cosine_spark(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, (a.la == b.lb) & (a.vec_a < b.vec_b) & (a.salt == b.salt))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("la").cast("int").alias("label"),
-            cos.alias("cos"),
-        )
+        pairs.select("va", "vb", "la", cos.alias("cos"))
         .filter(F.col("cos") >= _COSINE_NEARDUP)
-        .select("vec_a", "vec_b", "label", F.round("cos", 6).alias("cosine"))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.col("la").cast("int").alias("label"),
+            F.round("cos", 6).alias("cosine"),
+        )
     )
 
 

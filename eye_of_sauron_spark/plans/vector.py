@@ -38,15 +38,17 @@ _QUERY_FILTER = "vec_id % 50 = 0"  # 10 query vectors per 500 rows
 _DIM = 64
 _N_PLANES = 8
 
-# Deterministic pseudo-random hyperplanes (values in [-9, 9]); inlined
-# as literals on BOTH engines so the bucketing matches bit-for-bit.
-# Any plane index works (dedup's banded sub-bucketing draws 16);
-# production swaps these for Gaussian planes — the structure of the
+# Deterministic pseudo-random hyperplanes (values in [-48, 48]);
+# inlined as literals on BOTH engines so the bucketing matches
+# bit-for-bit. The quadratic term makes planes distinct for counts up
+# to 97 (the old affine form was periodic mod 19 — only 19 distinct
+# planes); dedup_embedding_cosine's banded sub-bucketing draws 64.
+# Production swaps these for Gaussian planes — the structure of the
 # plan doesn't change, only the literals.
 
 
 def _plane(p: int) -> list[int]:
-    return [((p * 37 + j * 101) % 19) - 9 for j in range(_DIM)]
+    return [((p * 31 + j * 17 + (p + j) * (p + j) * 7) % 97) - 48 for j in range(_DIM)]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
