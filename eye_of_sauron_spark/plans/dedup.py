@@ -41,8 +41,16 @@ _MINHASH_K = 16
 _MINHASH_BANDS = 8
 _JACCARD_THRESHOLD = 0.8
 
-_SIMHASH_BITS = 32
-_SIMHASH_BAND_BITS = 8  # 4 bands; hamming <= 3 guarantees a band collides
+# SimHash signature width. 64-bit, carried as two non-negative 32-bit
+# halves (lo, hi) so every shift/mod/xor stays inside portable BIGINT
+# arithmetic on both engines (a true 64-bit int would put bit 63 in the
+# sign position, where shift semantics diverge). 8 bands of 8 bits are
+# pigeonhole-complete for hamming <= 7 >= _HAMMING_MAX. The r02 10x
+# probe saturated 32-bit signatures (7.6M pairs — random collisions at
+# density); 64-bit restores MinHash-comparable selectivity (SCALE.md).
+_SIMHASH_HALF_BITS = 32
+_SIMHASH_BITS = 64
+_SIMHASH_BAND_BITS = 8
 _HAMMING_MAX = 3
 
 # Embedding near-dup parameters. 0.9 is a realistic near-dup bar; the
