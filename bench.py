@@ -57,30 +57,38 @@ def main() -> None:
     # best-of-2 per query: single-JVM runs accumulate GC/JIT noise that
     # can swing one cold measurement 2-3x; the min is the stable
     # regression signal
-    times: dict[str, float] = {}
+    # fault-isolated per query: one broken plan must never zero the
+    # whole round's perf record (BENCH_r04 died with no numbers when a
+    # single query raised at plan construction) — failures are recorded
+    # as {"err": ...} rows and the run keeps going
+    times: dict[str, object] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — survive any one query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     wall = round(time.perf_counter() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_best_of_2_query_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_from_dir(sf_dir),
-                "n_queries": len(times),
-                "wall_sec_incl_reruns": wall,
-            }
-        )
-    )
+    out = {
+        "metric": "sum_best_of_2_query_sec",
+        "value": round(sum(t for t in times.values() if isinstance(t, float)), 3),
+        "unit": "sec",
+        "queries": {**times, **{n: {"err": e} for n, e in errors.items()}},
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "wall_sec_incl_reruns": wall,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,31 @@ def hex32_duck(expr: str) -> str:
     )
 
 
+def hex32_at_spark(md5_hex: Column, offset: int) -> Column:
+    """32 bits of an md5 hex string, starting at 1-based hex-char
+    ``offset``, as a non-negative BIGINT (0..2^32-1).
+
+    The portable 64-bit primitive: a full md5 digest yields two
+    independent 32-bit halves at offsets 1 and 9, carried as separate
+    BIGINTs so every downstream shift/mod/xor stays below 2^32 —
+    a single 64-bit value would need a ``2^63`` literal (overflows a
+    Java signed long at plan construction) and put bit 63 in the sign
+    position, where div/mod semantics diverge between engines.
+    """
+    return F.conv(F.substring(md5_hex, offset, 8), 16, 10).cast("bigint")
+
+
+def hex32_at_duck(hex_expr: str, offset: int) -> str:
+    """DuckDB SQL twin of :func:`hex32_at_spark` (``hex_expr`` is any
+    SQL expression producing a lowercase hex string, e.g. md5(...))."""
+    return (
+        "list_reduce(list_transform("
+        f"string_split(substr({hex_expr}, {offset}, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
 def minhash_seed_spark(seed: Column, value: Column) -> Column:
     """Seeded portable hash for MinHash: md5('{seed}:{value}') as hex.
 

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.hashing import (
+    hex32_at_duck,
+    hex32_at_spark,
     hex32_duck,
     hex32_spark,
     minhash_u_duck,
@@ -41,16 +43,20 @@ _MINHASH_K = 16
 _MINHASH_BANDS = 8
 _JACCARD_THRESHOLD = 0.8
 
-# SimHash signature width. 64-bit, carried as two non-negative 32-bit
+# SimHash signature width. 64 bits, carried as two non-negative 32-bit
 # halves (lo, hi) so every shift/mod/xor stays inside portable BIGINT
-# arithmetic on both engines (a true 64-bit int would put bit 63 in the
-# sign position, where shift semantics diverge). 8 bands of 8 bits are
-# pigeonhole-complete for hamming <= 7 >= _HAMMING_MAX. The r02 10x
-# probe saturated 32-bit signatures (7.6M pairs — random collisions at
-# density); 64-bit restores MinHash-comparable selectivity (SCALE.md).
+# arithmetic on both engines (a single 64-bit int needs a 2^63 literal,
+# which overflows a Java signed long at plan construction, and puts
+# bit 63 in the sign position where div/mod semantics diverge). The
+# token hash is the full md5 width: hex chars 1-8 -> lo half, 9-16 ->
+# hi half (functions/hashing.py::hex32_at_*), so all 64 signature bits
+# carry real entropy. 8 bands of 8 bits (4 per half) are pigeonhole-
+# complete for hamming <= 7 >= _HAMMING_MAX. The r02 10x probe
+# saturated 32-bit signatures (7.6M pairs — random collisions at
+# density); 64 bits restore MinHash-comparable selectivity (SCALE.md).
 _SIMHASH_HALF_BITS = 32
-_SIMHASH_BITS = 64
 _SIMHASH_BAND_BITS = 8
+_SIMHASH_BANDS_PER_HALF = _SIMHASH_HALF_BITS // _SIMHASH_BAND_BITS  # 4
 _HAMMING_MAX = 3
 
 # Embedding near-dup parameters. 0.9 is a realistic near-dup bar; the
@@ -380,118 +386,140 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash: 32-bit signature from the token *multiset*; near-dups are
-# pairs at hamming distance <= 3. Banding the 32 bits into 4 bytes
-# guarantees (pigeonhole) that any pair within hamming 3 collides on
-# at least one band, so the candidate join is complete, not heuristic.
-_H32 = (
-    "list_reduce(list_transform(string_split(substr(md5(tok), 1, 8), ''), "
-    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-)
-
+# SimHash: 64-bit signature (as lo/hi 32-bit halves) from the token
+# *multiset*; near-dups are pairs at hamming distance <= 3. Banding the
+# 64 bits into 8 bytes guarantees (pigeonhole) that any pair within
+# hamming 7 collides on at least one band, so the candidate join is
+# complete, not heuristic.
 _SIMHASH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest({tokens_duck('text')}) AS tok FROM documents
     ),
-    hashed AS (SELECT doc_id, {_H32} AS h FROM toks),
+    hashed AS (
+        SELECT doc_id,
+               {hex32_at_duck('md5(tok)', 1)} AS hlo,
+               {hex32_at_duck('md5(tok)', 9)} AS hhi
+        FROM toks
+    ),
     bits AS (
         SELECT doc_id, j.j,
-               sum(CASE WHEN (h // CAST(pow(2, j.j) AS BIGINT)) % 2 = 1
-                        THEN 1 ELSE -1 END) AS s
-        FROM hashed, unnest(range(0, {_SIMHASH_BITS})) AS j(j)
+               sum(CASE WHEN (hlo // CAST(pow(2, j.j) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS vlo,
+               sum(CASE WHEN (hhi // CAST(pow(2, j.j) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS vhi
+        FROM hashed, unnest(range(0, {_SIMHASH_HALF_BITS})) AS j(j)
         GROUP BY doc_id, j.j
     ),
     sims AS (
         SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-                    AS BIGINT) AS simhash
+               CAST(sum(CASE WHEN vlo > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS slo,
+               CAST(sum(CASE WHEN vhi > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS shi
         FROM bits GROUP BY doc_id
     ),
     banded AS (
-        SELECT doc_id, simhash, b.b,
-               (simhash // CAST(pow(2, {_SIMHASH_BAND_BITS} * b.b) AS BIGINT))
-                   % {2 ** _SIMHASH_BAND_BITS} AS bandval
-        FROM sims, unnest(range(0, {_SIMHASH_BITS // _SIMHASH_BAND_BITS})) AS b(b)
+        SELECT doc_id, slo, shi, b.b,
+               CASE WHEN b.b < {_SIMHASH_BANDS_PER_HALF}
+                    THEN (slo // CAST(pow(2, {_SIMHASH_BAND_BITS} * b.b) AS BIGINT))
+                         % {2 ** _SIMHASH_BAND_BITS}
+                    ELSE (shi // CAST(pow(2, {_SIMHASH_BAND_BITS}
+                                           * (b.b - {_SIMHASH_BANDS_PER_HALF}))
+                                      AS BIGINT))
+                         % {2 ** _SIMHASH_BAND_BITS}
+               END AS bandval
+        FROM sims, unnest(range(0, {2 * _SIMHASH_BANDS_PER_HALF})) AS b(b)
     ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS da, a.simhash AS ha, b.doc_id AS db, b.simhash AS hb
+        SELECT DISTINCT a.doc_id AS da, a.slo AS la, a.shi AS ha,
+                        b.doc_id AS db, b.slo AS lb, b.shi AS hb
         FROM banded a JOIN banded b
           ON a.b = b.b AND a.bandval = b.bandval AND a.doc_id < b.doc_id
     )
     SELECT da AS doc_a, db AS doc_b,
-           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
 """
 
 
-@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: per-token 32-bit hashes vote per bit position
-    (+1/-1 weighted by multiplicity); the sign vector is the document
-    signature; candidates join on 8-bit bands (complete for hamming <=
-    3 by pigeonhole) and verify with popcount(xor).
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, slo, shi): the 64-bit SimHash signature of each doc's
+    token multiset, carried as two non-negative 32-bit BIGINT halves.
 
-    Scale shape: signatures are one 64-bit int per doc; the band join
-    is 4 rows/doc. This is the cheapest fuzzy dedup here — O(docs)
-    state vs MinHash's O(docs x k) — at the cost of weaker recall on
-    heavily edited near-dups.
-    """
-    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    # hash the token multiset once, then take all 32 bit-votes with
-    # per-document folds: zero shuffle until the (tiny) band join —
-    # the explode/groupBy formulation would shuffle O(docs x toks x 32)
-    hashed = docs.select(
+    Per-token md5 is materialized once as its own projection; each
+    half's 32 bit-votes are per-document higher-order folds — zero
+    shuffle, every op inside WholeStageCodegen."""
+    md5d = docs.select(
+        "doc_id", F.transform(tokens_spark(F.col("text")), F.md5).alias("ms")
+    )
+    halves = md5d.select(
         "doc_id",
-        F.transform(
-            tokens_spark(F.col("text")),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
-        ).alias("hs"),
+        F.transform("ms", lambda m: hex32_at_spark(m, 1)).alias("hlo"),
+        F.transform("ms", lambda m: hex32_at_spark(m, 9)).alias("hhi"),
     )
 
-    def bit_vote(j: int):
-        s = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(2**j)) != 0, 1).otherwise(-1),
-        )
-        return F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
+    def half_sig(col_name: str):
+        def bit_vote(j: int):
+            s = F.aggregate(
+                F.col(col_name),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(2**j)) != 0, 1).otherwise(-1),
+            )
+            return F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
 
-    simhash = sum(
-        (bit_vote(j) for j in range(_SIMHASH_BITS)), F.lit(0)
+        return sum(
+            (bit_vote(j) for j in range(_SIMHASH_HALF_BITS)), F.lit(0)
+        ).cast("bigint")
+
+    return halves.select(
+        "doc_id", half_sig("hlo").alias("slo"), half_sig("hhi").alias("shi")
     )
-    sims = hashed.select("doc_id", simhash.cast("bigint").alias("simhash"))
-    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within hamming <= _HAMMING_MAX of
+    each other's 64-bit signature, via the 8-band candidate equi-join
+    (pigeonhole-complete for hamming <= 7)."""
+    sims = simhash_signatures(docs)
+    n_bands = 2 * _SIMHASH_BANDS_PER_HALF
     banded = sims.select(
         "doc_id",
-        "simhash",
+        "slo",
+        "shi",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
     ).withColumn(
         "bandval",
         F.expr(
-            f"(simhash div CAST(pow(2, {_SIMHASH_BAND_BITS} * b) AS BIGINT))"
-            f" % {2 ** _SIMHASH_BAND_BITS}"
+            f"CASE WHEN b < {_SIMHASH_BANDS_PER_HALF} THEN "
+            f"(slo div CAST(pow(2, {_SIMHASH_BAND_BITS} * b) AS BIGINT))"
+            f" % {2 ** _SIMHASH_BAND_BITS} ELSE "
+            f"(shi div CAST(pow(2, {_SIMHASH_BAND_BITS}"
+            f" * (b - {_SIMHASH_BANDS_PER_HALF})) AS BIGINT))"
+            f" % {2 ** _SIMHASH_BAND_BITS} END"
         ),
     )
     a = banded.select(
         F.col("doc_id").alias("da"),
-        F.col("simhash").alias("ha"),
+        F.col("slo").alias("la"),
+        F.col("shi").alias("ha"),
         F.col("b").alias("b1"),
         F.col("bandval").alias("v1"),
     )
     b = banded.select(
         F.col("doc_id").alias("db"),
-        F.col("simhash").alias("hb"),
+        F.col("slo").alias("lb"),
+        F.col("shi").alias("hb"),
         F.col("b").alias("b2"),
         F.col("bandval").alias("v2"),
     )
     cand = (
         a.join(b, (a.b1 == b.b2) & (a.v1 == b.v2) & (a.da < b.db))
-        .select("da", "ha", "db", "hb")
+        .select("da", "la", "ha", "db", "lb", "hb")
         .distinct()
     )
-    hamming = F.bit_count(F.expr("ha ^ hb"))
+    hamming = F.bit_count(F.expr("la ^ lb")) + F.bit_count(F.expr("ha ^ hb"))
     return (
         cand.filter(hamming <= _HAMMING_MAX)
         .select(
@@ -500,6 +528,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
         )
     )
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token 64-bit hashes (md5 lo/hi 32-bit
+    halves) vote per bit position (+1/-1 weighted by multiplicity); the
+    sign vector is the document signature; candidates join on 8-bit
+    bands (complete for hamming <= 7 by pigeonhole) and verify with
+    popcount(xor) summed over the halves.
+
+    Scale shape: signatures are two BIGINTs per doc; the band join is
+    8 rows/doc. This is the cheapest fuzzy dedup here — O(docs) state
+    vs MinHash's O(docs x k) — at the cost of weaker recall on heavily
+    edited near-dups. Reference analog: 'smart' frame change detection
+    (src/frame_producer.py:110-119) as fuzzy content identity.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return simhash_pairs(docs)
 
 
 # Deterministic drift applied to the re-ingested copies: element j of

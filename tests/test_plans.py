@@ -146,6 +146,79 @@ def test_embedding_dedup_joins_on_band_signature(spark, sf_dir):
     assert any("bsig" in ln for ln in joins), joins
 
 
+def test_simhash_no_degenerate_bands(spark, sf_dir):
+    # Degenerate-band detector: with a 32-bit token hash, bits 32-63 of
+    # the "64-bit" signature were constant 0, so the upper 4 of 8 bands
+    # shared one value across every document and their band joins were
+    # all-pairs self-joins (VERDICT r04 "What's wrong #2"). Every band
+    # must take >1 distinct value on the real corpus.
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import (
+        _SIMHASH_BAND_BITS,
+        _SIMHASH_BANDS_PER_HALF,
+        simhash_signatures,
+    )
+    from eye_of_sauron_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sims = simhash_signatures(docs)
+    exprs = []
+    for half_col in ("slo", "shi"):
+        for b in range(_SIMHASH_BANDS_PER_HALF):
+            exprs.append(
+                F.count_distinct(
+                    F.expr(
+                        f"({half_col} div {2 ** (_SIMHASH_BAND_BITS * b)})"
+                        f" % {2 ** _SIMHASH_BAND_BITS}"
+                    )
+                ).alias(f"{half_col}_{b}")
+            )
+    counts = sims.agg(*exprs).collect()[0].asDict()
+    assert all(v > 1 for v in counts.values()), counts
+
+
+def test_simhash_finds_all_planted_close_pairs(spark, sf_dir):
+    # Pigeonhole completeness, end to end: plant exact duplicates
+    # (hamming 0 — must collide on all 8 bands) on top of the real
+    # corpus, compute exact ground truth (all pairs at hamming <=
+    # _HAMMING_MAX of the collected signature set), and require the
+    # banded candidate join to surface exactly that set.
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import (
+        _HAMMING_MAX,
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from eye_of_sauron_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionAll(planted)
+
+    sigs = {
+        r["doc_id"]: (r["slo"], r["shi"])
+        for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if h <= _HAMMING_MAX:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()
+    }
+    assert got == expected
+    assert expected  # the planted duplicates guarantee a non-empty set
+
+
 def test_embedding_dedup_banding_has_full_recall(spark, sf_dir):
     # banded sub-bucketing must find EVERY pair the exact all-pairs
     # scan finds at the 0.9 threshold (recall 100% on the fixture);
