@@ -307,15 +307,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cutoff for the postings index: a shingle shared
+# by m documents emits O(m^2) candidate pairs, and a natural-language
+# stop-shingle ("one of the") can have df in the millions at 100 TB —
+# one such posting row OOMs its task. Shingles that common carry no
+# near-dup signal (exactly like stopwords in retrieval), so postings
+# wider than the cap are dropped BEFORE pair emission on both engines.
+# 64 is ~2.5x the max fixture df (25 at sf0.1), so fixture results are
+# unchanged while the worst-case per-shingle emission is bounded at
+# 64^2 regardless of corpus size.
+_NGRAM_DF_CAP = 64
+
 _NGRAM_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({shingles_duck('text')}) AS shingle
         FROM documents
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) BETWEEN 2 AND {_NGRAM_DF_CAP}
+    ),
     inter AS (
         SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        WHERE x.shingle IN (SELECT shingle FROM keep)
         GROUP BY x.doc_id, y.doc_id
     )
     SELECT i.da AS doc_a, i.db AS doc_b,
@@ -329,19 +345,10 @@ _NGRAM_ORACLE = f"""
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via an inverted-index (postings)
-    self-join on shingles — the exact-answer baseline MinHash-LSH
-    approximates.
-
-    Scale shape: the postings join explodes on high-frequency shingles
-    (a shingle shared by m docs contributes m^2 pairs). At 100 TB,
-    drop shingles with document frequency above a cutoff first (they
-    carry no near-dup signal, exactly like stopwords); here the corpus
-    is small enough to skip that.
-    """
-    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = _NGRAM_DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, n_shingles_a, n_shingles_b, jaccard) for pairs at
+    Jaccard >= _JACCARD_THRESHOLD over 3-word shingles, via an
+    inverted-index (postings) join with a document-frequency cutoff."""
     base = docs.select("doc_id", shingles_spark(F.col("text")).alias("sh"))
     # shingle arrays are distinct, so each doc's postings count IS its
     # array size — attach it BEFORE the explode so it rides the
@@ -353,14 +360,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # inverted index WITHOUT a self-join: group the postings per
     # shingle, drop df=1 shingles (they generate no pairs — usually
-    # the vast majority), and emit the ordered (da < db) pairs with
+    # the vast majority) and df>cap stop-shingles (no near-dup signal,
+    # O(df^2) pair blowup), and emit the ordered (da < db) pairs with
     # TWO explodes. The two-stage shape keeps every materialized
     # array O(df) — a single nested flatten would build the full
-    # O(df^2) pair array of a stop-shingle in one row's memory.
+    # O(df^2) pair array of a hot shingle in one row's memory.
     postings = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter(F.size("ds").between(2, df_cap))
     )
     pairs = postings.select(
         "ds", F.posexplode("ds").alias("i", "a")
@@ -384,6 +392,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def ngram_dropped_shingle_count(docs: DataFrame, df_cap: int = _NGRAM_DF_CAP) -> DataFrame:
+    """Single-row (dropped_shingles, max_df) diagnostic: how many
+    distinct shingles the df-cutoff removed from the postings index.
+    Log this alongside production runs — silent truncation reads as
+    full coverage when it isn't."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    )
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return dfs.agg(
+        F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias("dropped_shingles"),
+        F.max("df").alias("max_df"),
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted-index (postings)
+    join on shingles — the exact-answer baseline MinHash-LSH
+    approximates.
+
+    Scale shape: a shingle shared by m docs contributes O(m^2) pairs,
+    so postings wider than _NGRAM_DF_CAP are dropped before pair
+    emission (stop-shingles carry no near-dup signal); per-shingle
+    work is thereby bounded at cap^2 regardless of corpus size. Use
+    ngram_dropped_shingle_count for the dropped-postings diagnostic.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return ngram_jaccard_pairs(docs)
 
 
 # SimHash: 64-bit signature (as lo/hi 32-bit halves) from the token

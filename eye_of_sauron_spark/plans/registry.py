@@ -34,39 +34,39 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness harness checks at most ~50 registry entries
 # per round, in iteration order. Names listed here are emitted FIRST by
-# all_queries()/all_oracles() so queries that have never appeared in a
-# CORRECTNESS_r*.json get driver evidence before already-green ones
-# rotate back in. Unlisted names follow in registration order.
-# (r02 gap: 21 of 71 queries had no driver row at all — VERDICT.md #1.)
+# all_queries()/all_oracles() so queries with the OLDEST driver
+# evidence re-green before already-fresh ones rotate back in. Unlisted
+# names follow in registration order. Rotate this list each round to
+# whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
+# pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # never driver-checked through r02
-    "similarity_topk_cosine",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "multimodal_image_stats",
-    "multimodal_frame_sample",
-    "ml_match_first_target",
-    "ml_face_pipeline",
-    "doc_fingerprint",
-    "text_pii_scrub",
-    "deterministic_sample_documents",
-    "text_chunking",
-    # green in r01 only; absent from r02's 50-entry file
-    "window_rank_customers",
-    "window_running_total",
-    "window_lag_event_gaps",
-    "window_moving_avg",
-    "window_lead_transitions",
-    "window_ntile_spend_quartiles",
-    "window_first_match_semantics",
-    # errored in r02 (array<double> canonicalizer crash), fixed this round
-    "sketch_quantiles_value",
-    # new in round 3
+    # last driver row r01/r02; no evidence since (r05 rotation)
+    "array_vector_scalars",
+    "binary_base64_codec",
+    "cross_join_region_pairs",
+    "datetime_bucketing",
+    "filter_projection_pushdown",
+    "json_extract_props",
+    "json_map_explode",
+    "json_serialize_roundtrip",
+    "minmax_by_segment",
+    "setop_except_customers",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "string_filename_parse",
+    "text_language_id",
+    "text_quality_score",
+    "text_term_stats",
+    "text_token_counts",
+    "theta_join_acctbal_dominance",
+    "topk_orders_by_price",
+    "topk_per_group_orders",
+    "unpivot_part_metrics",
+    # changed or first registered this round — need fresh evidence
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_multimodal",
     "reorder_replay",
-    "stream_change_detect",
 )
 
 
