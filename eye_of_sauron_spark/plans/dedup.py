@@ -864,3 +864,74 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"connected_components did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+_CC_MULTI_ORACLE = f"""
+    WITH RECURSIVE tpairs AS (
+        {_MINHASH_ORACLE.replace('round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard',
+                                 'i.i AS dummy_i')}
+    ),
+    epairs AS (
+        {_EMB_NEARDUP_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM tpairs
+        UNION
+        SELECT vec_a AS a, vec_b AS b FROM epairs
+    ),
+    sym AS (
+        SELECT a AS s, b AS d FROM edges
+        UNION ALL
+        SELECT b AS s, a AS d FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM sym),
+    cc AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT sym.d AS node, cc.comp FROM cc JOIN sym ON sym.s = cc.node
+    )
+    SELECT node AS item_id,
+           min(comp) AS component,
+           (min(comp) = node) AS is_keeper
+    FROM cc GROUP BY node
+"""
+
+
+@query("dedup_cluster_multimodal", oracle=_CC_MULTI_ORACLE)
+def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal keeper election — the real pipeline shape: an item
+    is a duplicate if EITHER its text (MinHash-LSH pairs over
+    documents) OR its embedding (cosine pairs over the duplicated-
+    ingest embeddings corpus) says so, and one connected-components
+    pass over the union graph elects one keeper per cluster.
+
+    documents.doc_id and embeddings.vec_id share the item id space
+    (vec_id IS the item's embedding row; re-ingested drifted copies
+    live at vec_id + 1_000_000), so the union graph merges modalities
+    on the shared ids: a text edge can glue two embedding clusters and
+    vice versa. Scale shape: both edge generators are banded equi-join
+    pipelines (O(collisions), never all-pairs); the union is a cheap
+    unionAll of two small pair sets; clustering reuses
+    connected_components (pointer-jumping min-label, O(log diameter)
+    rounds) unchanged.
+    """
+    text_edges = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    )
+    emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("s"), F.col("vec_b").alias("d")
+    )
+    edges = text_edges.unionAll(emb_edges)
+    sym = (
+        edges.unionAll(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        # materialize the (small) merged edge list once — otherwise
+        # every propagation round re-executes BOTH banded dedup
+        # pipelines through sym's lineage
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(sym)
+    return labels.select(
+        F.col("node").alias("item_id"),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("node")).alias("is_keeper"),
+    )
