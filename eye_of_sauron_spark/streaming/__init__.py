@@ -20,4 +20,4 @@ semantics onto Structured Streaming:
   file sink (A10).
 """
 
-from . import windows  # noqa: F401
+from . import replay, windows  # noqa: F401
