@@ -12,9 +12,64 @@ micro-batch machinery.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.harness import file_stream  # noqa: F401  (re-export)
+
+# The frame-message value contract: JSON produced by the reference's
+# FrameProducer.transform + np_to_json (src/frame_producer.py:154-176,
+# src/utils.py:248-254) — {prefix}_frame is the base64 ndarray,
+# {prefix}_dtype/_shape its layout, prefix "original". The Kafka
+# record key is "{camera}_{frame_num}" (prediction_producer.py:114).
+FRAME_MESSAGE_SCHEMA = (
+    "timestamp DOUBLE, camera INT, frame_num INT, "
+    "original_frame STRING, original_dtype STRING, original_shape ARRAY<INT>"
+)
+
+
+def kafka_reader_options(
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The EXACT reader-option dict ``kafka_stream`` passes to
+    ``readStream.format("kafka")`` — split out pure so the contract is
+    pinned by a golden-fixture test even though no broker ships in
+    this container (a typo here would otherwise surface only in
+    production). Mirrors the reference consumer's subscription
+    surface (prediction_producer.py:68-75: earliest reset, explicit
+    topic subscribe; group management is the engine's here).
+    ``failOnDataLoss=false`` is the availability-over-abort choice for
+    expired offsets, matching the reference's skip-forward behavior.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_frame_messages(raw: DataFrame) -> DataFrame:
+    """Kafka (key BINARY, value BINARY) -> typed frame columns per
+    FRAME_MESSAGE_SCHEMA, plus the record key as a string. Pure
+    column transforms — works identically on batch DataFrames, which
+    is how the contract test drives it without a broker."""
+    return raw.select(
+        F.col("key").cast("string").alias("record_key"),
+        F.from_json(F.col("value").cast("string"), FRAME_MESSAGE_SCHEMA).alias("m"),
+    ).select("record_key", "m.*")
+
+
+def frame_record_key(camera: Column, frame_num: Column) -> Column:
+    """The producer-side record key "{camera}_{frame_num}" — keyed
+    publish (A3) routes a camera's frames to one partition."""
+    return F.concat_ws("_", camera.cast("string"), frame_num.cast("string"))
 
 
 def kafka_stream(
@@ -22,18 +77,18 @@ def kafka_stream(
     brokers: str,
     topics: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka ingestion (reference raw_frame_topic analog). Requires
     the spark-sql-kafka connector on the classpath; the returned
     stream carries (key, value BinaryType, topic, partition, offset,
-    timestamp) — decode ``value`` downstream."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    timestamp) — decode ``value`` with decode_frame_messages."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        brokers, topics, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def rate_stream(
