@@ -625,6 +625,13 @@ _EMB_BAND_KEYS_DUCK = ", ".join(
     for b in range(_EMB_BANDS)
 )
 
+# NOTE: this oracle mirrors the plan's (label, band-sig) candidate
+# generation, so the driver compare verifies the BANDED CONTRACT
+# (same candidates, same cosines, both engines), not ground-truth
+# recall — banding recall loss is invisible here by construction
+# (same trade as similarity_topk_lsh). The recall gate is
+# tests/test_plans.py::test_embedding_dedup_banding_has_full_recall,
+# which compares against an exact all-pairs DuckDB scan.
 _EMB_NEARDUP_ORACLE = f"""
     WITH corpus AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
