@@ -49,6 +49,11 @@ def get_spark(
         # session-wide, so no table loader has to flip configs mid-query
         # (the loader truncates ns -> us to match DuckDB's reader).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the fixtures carry tz-naive TIMESTAMP(MICROS); read them as
+        # plain TIMESTAMP (interpreted in the UTC session zone) rather
+        # than TIMESTAMP_NTZ so epoch math (unix_micros etc.) and the
+        # UTC-naive DuckDB oracle see identical instants
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep files from fragmenting into too many tiny tasks locally.
         .config("spark.sql.files.maxPartitionBytes", "128m")

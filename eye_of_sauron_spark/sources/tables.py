@@ -40,6 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # even row counts (date_trunc('week') crossing a week boundary)
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # tz-naive TIMESTAMP(MICROS) parquet would otherwise surface as
+    # TIMESTAMP_NTZ (Spark 4 default), which rejects epoch functions
+    # (unix_micros) and diverges from the UTC-naive DuckDB oracle; read
+    # it as plain TIMESTAMP in the UTC session zone — same instants.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None) != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
         # outright (PARQUET_TYPE_ILLEGAL). Sessions built by
