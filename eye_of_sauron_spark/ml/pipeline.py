@@ -19,9 +19,10 @@ Reference mapping (SURVEY.md A4-A7):
   feeding a render UDF over the original bytes.
 
 Scale notes: frames never shuffle until faces are already matched —
-detect/embed are narrow maps, the match is a broadcast nested-loop
-join, and the only shuffles are the per-frame reassembly groupBy and
-the 4-row target limit. The same stage graph runs under readStream
+detect/embed are narrow maps, the match is a one-row broadcast of the
+collected target array evaluated as a narrow higher-order expression,
+and the only shuffles are the per-frame reassembly groupBy and the
+4-row target limit. The same stage graph runs under readStream
 (stream-static broadcast join; see streaming/pipeline.py).
 """
 
@@ -215,42 +216,47 @@ def face_pipeline(frames: DataFrame, targets: DataFrame) -> DataFrame:
     relation and a small (target_idx, te, tname) target set: detect ->
     per-face explode -> embed -> broadcast first-match -> per-frame
     reassembly -> annotate. Source-agnostic: runs identically in batch
-    and inside a streaming foreachBatch (tests prove equality)."""
+    and inside a streaming foreachBatch (tests prove equality).
+
+    Single-shuffle design: the target set collapses to ONE row holding
+    an array of (target_idx, te, tname) structs, broadcast onto every
+    face row; first-match-wins is then a narrow expression —
+    ``array_min(filter(tarr, dist <= tol))`` — with no per-face
+    aggregation. The frame payload (the real-image column, the only
+    wide bytes at production scale) therefore crosses exactly one
+    shuffle: the per-frame reassembly groupBy, map-side-combined to
+    one payload per frame per map partition. The previous shape ran a
+    k-way crossJoin into a per-face groupBy first, pushing payload
+    bytes through two aggregations (round-4 verdict, ml_face_pipeline
+    audit)."""
+    tarr = targets.groupBy().agg(
+        F.collect_list(F.struct("target_idx", "te", "tname")).alias("tarr")
+    )
     faces = _explode_boxes(frames).withColumn(
         "emb", _embed_one_udf("payload", "box")
     )
-    dist = euclid_spark(F.col("emb"), F.col("te"))
-    # one lineage end-to-end: payload and boxes ride through both
-    # aggregations (first()), so frames are detected exactly once and
-    # zero-face frames (null box from the outer explode) stay in the
-    # pipeline — the broadcast rows simply never satisfy the match
-    matched = (
-        faces.crossJoin(F.broadcast(targets))
-        .groupBy("camera", "frame_num", "face_idx")
-        .agg(
-            F.first("payload").alias("payload"),
-            F.first("boxes").alias("boxes"),
-            F.first("box").alias("box"),
-            F.min(
-                F.when(
-                    F.col("box").isNotNull() & (dist <= _PIPE_TOL),
-                    F.struct(F.col("target_idx"), F.col("tname")),
-                )
-            ).alias("m"),
-        )
-        .select(
-            "camera",
-            "frame_num",
-            "face_idx",
-            "payload",
-            "boxes",
-            "box",
-            F.when(F.col("box").isNull(), F.lit(None))
-            .otherwise(F.coalesce(F.col("m.tname"), F.lit("Unknown")))
-            .alias("name"),
-        )
+    # hits: broadcast targets that match this face, in upload order;
+    # min over (target_idx, tname) = FIRST match, the A6 quirk
+    hits = F.filter(
+        "tarr", lambda t: euclid_spark(F.col("emb"), t["te"]) <= _PIPE_TOL
     )
-    per_frame = matched.groupBy("camera", "frame_num").agg(
+    first_hit = F.array_min(
+        F.transform(hits, lambda t: F.struct(t["target_idx"], t["tname"]))
+    )
+    # zero-face frames (null box from the outer explode) stay in the
+    # pipeline: name stays null and the reassembly filter drops them
+    named = faces.crossJoin(F.broadcast(tarr)).select(
+        "camera",
+        "frame_num",
+        "payload",
+        "boxes",
+        "face_idx",
+        "box",
+        F.when(F.col("box").isNull(), F.lit(None))
+        .otherwise(F.coalesce(first_hit["tname"], F.lit("Unknown")))
+        .alias("name"),
+    )
+    per_frame = named.groupBy("camera", "frame_num").agg(
         F.first("payload").alias("payload"),
         F.first("boxes").alias("boxes"),
         F.filter(
