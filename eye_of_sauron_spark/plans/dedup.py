@@ -719,14 +719,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = corpus.select(
         "vec_id", "label", F.explode(_emb_band_keys(F.col("emb"))).alias("bsig")
     )
+    # both sides rename EVERY column (ba/bb, not a shared "bsig"):
+    # an ambiguous self-join reference resolves to a trivially-true
+    # predicate that cannot serve as an equi key, silently demoting
+    # the hash join to label-only all-pairs + post-filter (measured
+    # 4.7x slower at sf0.1; arbitrarily worse at scale)
     a = sigs.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("la"), "bsig"
+        F.col("vec_id").alias("va"), F.col("label").alias("la"),
+        F.col("bsig").alias("ba"),
     )
     b = sigs.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), "bsig"
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+        F.col("bsig").alias("bb"),
     )
     cand = (
-        a.join(b, (a.la == b.lb) & (a.bsig == b.bsig) & (a.va < b.vb))
+        a.join(b, (a.la == b.lb) & (a.ba == b.bb) & (a.va < b.vb))
         .select("va", "vb", "la")
         .distinct()
     )

@@ -7,6 +7,8 @@ before it shows up in a benchmark."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from eye_of_sauron_spark import plans
@@ -140,10 +142,24 @@ def test_embedding_dedup_joins_on_band_signature(spark, sf_dir):
     # label alone — label-only pruning is O(n^2/labels) at 100 TB
     # (VERDICT r03 "What's wrong #2"); bsig in the join keys is what
     # makes candidate volume O(collisions)
+    # The signature must appear in the join's KEY lists, not merely in
+    # its line: an ambiguous self-join column ("bsig" unaliased on both
+    # sides) resolves to a trivially-true predicate that Catalyst keeps
+    # as a post-join condition — the string "bsig" still shows up on
+    # the join line while the hashed keys silently shrink to label
+    # alone (measured 4.7x slower at sf0.1; O(n^2/labels) at scale).
+    # The aliased ba/bb columns are the fix; require them as paired
+    # equi keys.
     p = _plan(spark, sf_dir, "dedup_embedding_cosine")
-    assert "bsig" in p
-    joins = [ln for ln in p.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln]
-    assert any("bsig" in ln for ln in joins), joins
+    joins = [
+        ln
+        for ln in p.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert any(
+        re.search(r"\[[^\]]*\bba#\d+[^\]]*\], \[[^\]]*\bbb#\d+[^\]]*\]", ln)
+        for ln in joins
+    ), joins
 
 
 def test_ngram_df_cutoff_drops_stop_shingles_keeps_neardups(spark):
