@@ -719,6 +719,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = corpus.select(
         "vec_id", "label", F.explode(_emb_band_keys(F.col("emb"))).alias("bsig")
     )
+    # materialize ONE exchange hash-partitioned on the join keys: both
+    # self-join sides are byte-identical up to it (ReusedExchange), so
+    # signatures compute once, and the candidate join reads its input
+    # already partitioned — same shape as the simhash banded join
+    sigs = sigs.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "label", "bsig"
+    )
     # both sides rename EVERY column (ba/bb, not a shared "bsig"):
     # an ambiguous self-join reference resolves to a trivially-true
     # predicate that cannot serve as an equi key, silently demoting

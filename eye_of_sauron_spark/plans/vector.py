@@ -63,13 +63,47 @@ def _plane_lit_duck(p: int) -> str:
     return "[" + ", ".join(f"{v}.0" for v in _plane(p)) + "]"
 
 
+def _plane_val(p, j):
+    """``_plane(p)[j]`` as an in-plan expression (p, j Columns). Same
+    closed form, so values are identical to the literal arrays — but
+    the signature tree stays O(1) nodes instead of O(planes x dim)
+    literals. With 64 planes the literal form is a ~4096-node
+    projection that costs seconds of Catalyst optimization per run
+    (duplicated again on each self-join side); the closed form makes
+    plan time flat. Exact-integer arithmetic before the double cast,
+    so cross-engine bitwise equality is unaffected."""
+    q = p * 31 + j * 17 + (p + j) * (p + j) * 7
+    return (q % 97 - 48).cast("double")
+
+
 def hyperplane_sig_spark(emb, planes):
     """Sign-bit signature of ``emb`` against the given plane indices:
-    bit i set iff dot(emb, plane(planes[i])) > 0."""
-    sig = F.lit(0)
-    for i, p in enumerate(planes):
-        sig = sig + F.when(dot_spark(emb, _plane_lit_spark(p)) > 0, 2**i).otherwise(0)
-    return sig
+    bit i set iff dot(emb, plane(planes[i])) > 0.
+
+    Data-driven form: the plane matrix is generated inside the
+    expression from ``_plane_val``'s closed form (see its docstring);
+    the per-plane dot keeps ``dot_spark``'s exact fold order
+    (left-to-right over j), so sig values — and every downstream
+    band key — are bit-identical to the literal-plane oracle."""
+    planes = list(planes)
+    parr = F.array(*[F.lit(int(p)) for p in planes])
+
+    def dot_p(p):
+        prods = F.zip_with(
+            emb,
+            F.sequence(F.lit(0), F.lit(_DIM - 1)),
+            lambda x, j: x.cast("double") * _plane_val(p, j),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    # fold bits MSB-first (position n-1 .. 0): sig = sig*2 + bit_i,
+    # which equals sum(bit_i * 2^i) without a literal per position
+    rev = F.sequence(F.lit(len(planes) - 1), F.lit(0), F.lit(-1))
+    bits = F.transform(
+        rev,
+        lambda i: F.when(dot_p(F.get(parr, i)) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b)
 
 
 def hyperplane_sig_duck(emb: str, planes) -> str:
