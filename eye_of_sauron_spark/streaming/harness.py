@@ -15,6 +15,7 @@ transformation downstream is source-agnostic.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,38 @@ def write_microbatch_files(
         for f in os.listdir(part_dir):
             os.remove(os.path.join(part_dir, f))
         os.rmdir(part_dir)
+
+
+def write_microbatch_files_partitioned(
+    df: DataFrame, batch_col: str, n_batches: int, out_dir: str
+) -> None:
+    """Same contract as ``write_microbatch_files`` — one parquet file
+    per micro-batch, modification times increasing in batch order —
+    but written in ONE Spark job: the source DataFrame is hash-
+    partitioned on the batch column and written with ``partitionBy``,
+    then the per-batch files are moved into place. ``n_batches``
+    separate filter+write jobs re-run the upstream plan once per
+    batch (the replay's scramble window made that 8x a full window
+    over events)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stage = os.path.join(out_dir, "_stage")
+    (
+        df.repartition(n_batches, batch_col)
+        .write.mode("overwrite")
+        .partitionBy(batch_col)
+        .parquet(stage)
+    )
+    base = time.time() - 3600
+    for i in range(n_batches):
+        pdir = os.path.join(stage, f"{batch_col}={i}")
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        # hash partitioning puts all rows of one batch value in one
+        # task, so each partition dir holds exactly one file
+        assert len(files) == 1, (pdir, files)
+        dst = os.path.join(out_dir, f"batch_{i:04d}.parquet")
+        os.replace(os.path.join(pdir, files[0]), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(stage)
 
 
 def file_stream(spark: SparkSession, src_dir: str, schema) -> DataFrame:

@@ -23,7 +23,11 @@ from pyspark.sql.window import Window as W
 
 from ..plans.registry import query
 from ..sources import load_table
-from .harness import file_stream, run_to_memory, write_microbatch_files
+from .harness import (
+    file_stream,
+    run_to_memory,
+    write_microbatch_files_partitioned,
+)
 from .reorder import reorder_stream
 
 # 64 cameras x up to 200 frames each, derived deterministically from
@@ -92,22 +96,30 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/utils.py:50,168).
     """
     scrambled = _scrambled_frames(spark, sf_dir)
-    batches = [
-        scrambled.filter(F.col("batch") == i).select(
-            "camera", "frame_num", "payload"
-        )
-        for i in range(_N_BATCHES)
-    ]
     work = tempfile.mkdtemp(prefix="reorder_replay_")
-    write_microbatch_files(spark, batches, f"{work}/in")
+    # one job for all 8 batch files (the per-batch filter+write form
+    # re-ran the scramble window once per batch)
+    write_microbatch_files_partitioned(scrambled, "batch", _N_BATCHES, f"{work}/in")
     stream = file_stream(
         spark, f"{work}/in", "camera INT, frame_num INT, payload STRING"
     )
-    emitted = run_to_memory(
-        reorder_stream(stream, buffer_size=_BUFFER_SIZE),
-        f"reorder_replay_{uuid.uuid4().hex[:8]}",
-        f"{work}/ckpt",
-    )
+    # scope the stateful shuffle to the replay's own scale: 64 cameras
+    # over 8 state partitions, not the session's 32 — each micro-batch
+    # pays per-partition state-store commit + Arrow worker round-trip,
+    # so 32 partitions x 8 batches is mostly fixed overhead here. The
+    # checkpoint is fresh per invocation, so the partitioning is
+    # per-run and nothing else sees the conf (restored immediately).
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(_N_BATCHES))
+    try:
+        emitted = run_to_memory(
+            reorder_stream(stream, buffer_size=_BUFFER_SIZE),
+            f"reorder_replay_{uuid.uuid4().hex[:8]}",
+            f"{work}/ckpt",
+        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
     return emitted.select(
         "camera",
         "frame_num",
