@@ -806,16 +806,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAISES if the safety cap is hit — silently returning unconverged
     labels would be wrong answers, not slow ones. The oracle closes
     the same graph with a recursive CTE."""
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        edges.unionAll(
-            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
+    # materialize the (small) DIRECTED edge list first — symmetrizing
+    # before the checkpoint puts the whole minhash pipeline in BOTH
+    # union branches (it executes twice); after it, the swap is a
+    # projection over materialized partitions, and every propagation
+    # round joins cheap materialized data
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        # materialize the (small) edge list once — otherwise every
-        # iteration's join re-executes the entire minhash pipeline
-        # through sym's lineage
         .localCheckpoint(eager=True)
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     labels = connected_components(sym)
     return labels.select(
@@ -850,6 +852,7 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("prev"),
             )
         )
         # pointer jumping (path halving): comp := comp[comp]. comp
@@ -869,15 +872,20 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
+                # convergence flag rides along so the changed-count is
+                # a filter over the materialized checkpoint, not an
+                # extra per-round join against the previous labels
+                (
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+                    )
+                    != F.col("prev")
+                ).alias("changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            labels.join(new_labels.withColumnRenamed("comp", "ncomp"), "node")
-            .filter(F.col("comp") != F.col("ncomp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     else:
@@ -942,13 +950,13 @@ def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("s"), F.col("vec_b").alias("d")
     )
-    edges = text_edges.unionAll(emb_edges)
-    sym = (
-        edges.unionAll(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        # materialize the (small) merged edge list once — otherwise
-        # every propagation round re-executes BOTH banded dedup
-        # pipelines through sym's lineage
-        .localCheckpoint(eager=True)
+    # materialize the merged DIRECTED edge list before symmetrizing:
+    # a post-union checkpoint would re-execute BOTH banded dedup
+    # pipelines once per union branch; here each runs exactly once and
+    # the swap is a projection over materialized partitions
+    edges = text_edges.unionAll(emb_edges).localCheckpoint(eager=True)
+    sym = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     labels = connected_components(sym)
     return labels.select(
