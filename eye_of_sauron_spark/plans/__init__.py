@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregation,
     asof,
+    curation,
     dedup,
     grouped,
     relational,

@@ -1,0 +1,273 @@
+"""Training-data curation operators over the ``documents`` corpus:
+deterministic splits, sequence packing, repetition filtering, and
+per-document keyword extraction.
+
+These are the pipeline stages between raw dedup (plans/dedup.py) and
+tokenizer hand-off in an LLM data pipeline. The reference has no text
+pipeline at all; its nearest analog is the deterministic routing of
+frames to per-camera topics (src/utils.py:213-244 key conventions) —
+here generalized to content-hash routing of documents into dataset
+splits. Everything is JVM-side expressions (no Python UDFs) and every
+query carries an exact DuckDB oracle: determinism is the point —
+re-running the pipeline on any engine, at any scale, over any
+partitioning must route the same document to the same split/bin.
+
+Scale notes: splits and repetition scores are pure narrow maps (they
+push down and compose with any scan); packing is one window over
+(lang, doc_id) — a single shuffle by lang with in-partition ordered
+accumulation; keyword extraction shuffles (term, doc) pairs once for
+the df table and once for the per-doc top-k window, both keyed well
+below corpus row width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.hashing import hex32_duck, hex32_spark
+from ..functions.text import tokens_duck, tokens_spark
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- split
+
+_TRAIN_PCT = 80
+_VAL_PCT = 10  # val bucket: [80, 90); test: [90, 100)
+
+_SPLIT_KEY_DUCK = "'split:' || CAST(doc_id AS VARCHAR)"
+_SPLIT_BUCKET_DUCK = f"{hex32_duck(_SPLIT_KEY_DUCK)} % 100"
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH routed AS (
+        SELECT lang, n_chars, {tokens_duck('text')} AS ts,
+               CASE
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT} THEN 'train'
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(ts)) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM routed
+    GROUP BY split, lang
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test routing by content-hash
+    bucket (md5('split:'||doc_id) % 100), with per-(split, lang)
+    accounting. Hash routing — not RNG — so membership is stable
+    across engines, runs, scales, and partitionings, and a document
+    can never leak between splits on re-ingest. The route column is a
+    narrow expression: at 100 TB this is a free rider on any scan,
+    and writing the three splits is one partitioned write."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        hex32_spark(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars", tokens_spark(F.col("text")).alias("ts"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ts")).cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+# ------------------------------------------------------------- packing
+
+_PACK_BUDGET = 256  # tokens per packed sequence bin
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({tokens_duck('text')}) AS n_tok
+        FROM documents
+    ),
+    offsets AS (
+        SELECT doc_id, lang, n_tok,
+               sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS off
+        FROM toks
+    )
+    SELECT lang,
+           CAST(off // {_PACK_BUDGET} AS INT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM offsets
+    GROUP BY lang, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting: documents stream
+    per language in doc_id order into fixed token-budget bins of
+    256; a document belongs to the bin its starting offset falls
+    in (the standard concatenate-then-split approximation — a doc may
+    straddle its bin boundary, so bin_tokens can exceed the budget by
+    at most one document). One running-sum window per language — a
+    single shuffle on lang with ordered in-partition accumulation; at
+    100 TB the partition key would widen to (lang, shard) with
+    per-shard budgets, same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(tokens_spark(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = toks.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("off"),
+    )
+    return (
+        offsets.groupBy(
+            "lang", F.floor(F.col("off") / _PACK_BUDGET).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------- repetition
+
+_REP_KEEP_MAX = 0.8  # Gopher-style gate: drop docs with > 80% repeated tokens
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len({tokens_duck('text')}) AS n_tokens,
+               len(list_distinct({tokens_duck('text')})) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_distinct AS INT) AS n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS rep_ratio,
+           (1.0 - n_distinct * 1.0 / n_tokens) <= {_REP_KEEP_MAX} AS keep
+    FROM scored
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (the duplicate-token fraction filter
+    from the Gopher/MassiveText cleaning recipe): rep_ratio =
+    1 - distinct_tokens/tokens per document, keep iff <= 0.8. A pure
+    narrow map over the corpus — array_distinct/size stay inside
+    codegen, nothing shuffles — so at scale the gate fuses into the
+    same stage as the scan it filters."""
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens_spark(F.col("text"))
+    n = F.size(ts)
+    nd = F.size(F.array_distinct(ts))
+    rep = 1.0 - nd * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        nd.cast("int").alias("n_distinct"),
+        F.round(rep, 6).alias("rep_ratio"),
+        (rep <= _REP_KEEP_MAX).alias("keep"),
+    )
+
+
+# ------------------------------------------------------------- keywords
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_duck('text')}) AS term
+        FROM documents WHERE n_chars > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((SELECT n FROM n) * 1.0 / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((SELECT n FROM n) * 1.0 / df.df) DESC,
+                            tf.term ASC
+               ) AS rk
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rank, term, tfidf
+    FROM scored WHERE rk <= {_TFIDF_TOPK}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by
+    tf * ln(N/df). Plan shape: one explode -> (doc, term) partial-agg
+    for tf; the df table is a second agg over the same exploded rows
+    and joins BROADCAST (vocabulary-sized, tiny next to the corpus);
+    the per-doc top-k is a window over doc_id — the same partitioning
+    the tf agg already produced, so Catalyst plans no extra exchange
+    between them."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = d.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias(
+                "raw"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            "term",
+            F.round("raw", 6).alias("tfidf"),
+        )
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+    )

@@ -67,6 +67,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_multimodal",
     "reorder_replay",
+    "split_train_val_test",
+    "pack_sequences",
+    "text_repetition_score",
+    "tfidf_top_terms",
 )
 
 
