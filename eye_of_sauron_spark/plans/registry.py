@@ -71,6 +71,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pack_sequences",
     "text_repetition_score",
     "tfidf_top_terms",
+    "stream_join_replay",
+    "stream_dedup_replay",
 )
 
 

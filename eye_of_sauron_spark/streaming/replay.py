@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,7 @@ from .harness import (
     run_to_memory,
     write_microbatch_files_partitioned,
 )
+from .joins import clicks_to_errors_stream_join
 from .reorder import reorder_stream
 
 # 64 cameras x up to 200 frames each, derived deterministically from
@@ -126,4 +128,155 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("camera").orderBy("frame_num"))
         .alias("emit_rank"),
+    )
+
+
+# ------------------------------------------------------- stream-stream
+
+@contextmanager
+def _scoped_shuffle(spark: SparkSession, n: int):
+    """Temporarily size the stateful shuffle for a replay's own scale
+    (fresh checkpoint per invocation, so the state partitioning is
+    per-run); restores the session conf on exit."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _time_sliced(df: DataFrame, n: int) -> DataFrame:
+    """Assign each row a micro-batch = its time octile — contiguous,
+    in-order slices, so each stream arrives event-time ordered and
+    watermarks never drop rows (ordered arrival means nothing is
+    late). Computed with a broadcast min/max, not a global window."""
+    rng = df.groupBy().agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    frac = (F.unix_micros("ts") - F.unix_micros("t0")) / (
+        F.unix_micros("t1") - F.unix_micros("t0") + 1
+    )
+    return (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn("batch", F.least(F.floor(frac * n), F.lit(n - 1)).cast("int"))
+        .drop("t0", "t1")
+    )
+
+
+_SS_BATCHES = 4
+
+_SS_JOIN_ORACLE = """
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+
+@query("stream_join_replay", oracle=_SS_JOIN_ORACLE)
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join, driver-checked end-to-end: the
+    click and error streams replay as 8 event-time-ordered file
+    micro-batches each through the REAL watermarked join
+    (streaming/joins.py), and the emitted pairs must equal the batch
+    inner join exactly.
+
+    Ordered arrival makes the replay lossless for ANY watermark delay
+    (an error relevant to a buffered click always arrives before the
+    watermark can evict that click), so the oracle is exact; the
+    drop-late-rows semantics that ordered replay cannot exercise are
+    pytest-pinned in tests/test_streaming.py. Scale shape: both sides
+    shuffle once on user_id; watermark-bounded state is the fix for
+    the reference's unbounded pairing dict (src/utils.py:50,168)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    work = tempfile.mkdtemp(prefix="ss_join_replay_")
+    # 4 micro-batches per side: a stream-stream join keeps FOUR state
+    # stores per partition per micro-batch, so batch count is the
+    # dominant fixed cost of the replay; 4 ordered slices exercise the
+    # same incremental semantics as 8 at half the wall time
+    write_microbatch_files_partitioned(
+        _time_sliced(clicks, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/clicks"
+    )
+    write_microbatch_files_partitioned(
+        _time_sliced(errors, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/errors"
+    )
+    schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    cs = file_stream(spark, f"{work}/clicks", schema)
+    es = file_stream(spark, f"{work}/errors", schema)
+    with _scoped_shuffle(spark, _SS_BATCHES):
+        emitted = run_to_memory(
+            clicks_to_errors_stream_join(cs, es),
+            f"ss_join_replay_{uuid.uuid4().hex[:8]}",
+            f"{work}/ckpt",
+        )
+    return emitted.select(
+        "user_id", "click_id", "error_id", "click_ts", "error_ts"
+    )
+
+
+# ---------------------------------------------------- streaming dedup
+
+_DEDUP_SAMPLE_MOD = 3  # replay every 3rd event, each delivered twice
+
+
+_STREAM_DEDUP_ORACLE = f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events WHERE event_id % {_DEDUP_SAMPLE_MOD} = 0
+"""
+
+
+@query("stream_dedup_replay", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery collapsed to exactly-once, driver-
+    checked: every sampled event is delivered TWICE (its redelivery
+    lands one micro-batch later), and
+    ``dropDuplicatesWithinWatermark`` on event_id must emit each
+    exactly once — any duplicate or dropped row fails the row/hash
+    compare against the distinct batch oracle.
+
+    The replay's watermark delay exceeds the fixture's whole time
+    span, so no dedup state evicts and the oracle is exact; the
+    bounded-state eviction behavior (duplicates beyond the delay MAY
+    re-emit) is pytest-pinned in tests/test_streaming.py. This is the
+    engine's answer to the reference's Kafka at-least-once consumer,
+    which simply re-processes on redelivery (src/
+    prediction_producer.py consumer loop)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % _DEDUP_SAMPLE_MOD == 0
+    )
+    first = _time_sliced(
+        ev.select("event_id", "user_id", "event_type", "value", "ts"), _N_BATCHES
+    )
+    redelivery = first.withColumn(
+        "batch", F.least(F.col("batch") + 1, F.lit(_N_BATCHES - 1))
+    )
+    deliveries = first.unionByName(redelivery)
+    work = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    write_microbatch_files_partitioned(
+        deliveries, "batch", _N_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    )
+    deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    with _scoped_shuffle(spark, _N_BATCHES):
+        emitted = run_to_memory(
+            deduped,
+            f"stream_dedup_replay_{uuid.uuid4().hex[:8]}",
+            f"{work}/ckpt",
+        )
+    return emitted.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
