@@ -14,6 +14,7 @@ is covered by the property tests in tests/test_properties.py.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from contextlib import contextmanager
@@ -111,17 +112,17 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so 32 partitions x 8 batches is mostly fixed overhead here. The
     # checkpoint is fresh per invocation, so the partitioning is
     # per-run and nothing else sees the conf (restored immediately).
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", str(_N_BATCHES))
     try:
-        emitted = run_to_memory(
-            reorder_stream(stream, buffer_size=_BUFFER_SIZE),
-            f"reorder_replay_{uuid.uuid4().hex[:8]}",
-            f"{work}/ckpt",
-        )
+        with _scoped_shuffle(spark, _N_BATCHES):
+            emitted = run_to_memory(
+                reorder_stream(stream, buffer_size=_BUFFER_SIZE),
+                f"reorder_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
     finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink holds the results; the input/checkpoint files
+        # are dead weight that would otherwise accumulate per invocation
+        shutil.rmtree(work, ignore_errors=True)
     return emitted.select(
         "camera",
         "frame_num",
@@ -211,12 +212,15 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
     cs = file_stream(spark, f"{work}/clicks", schema)
     es = file_stream(spark, f"{work}/errors", schema)
-    with _scoped_shuffle(spark, _SS_BATCHES):
-        emitted = run_to_memory(
-            clicks_to_errors_stream_join(cs, es),
-            f"ss_join_replay_{uuid.uuid4().hex[:8]}",
-            f"{work}/ckpt",
-        )
+    try:
+        with _scoped_shuffle(spark, _SS_BATCHES):
+            emitted = run_to_memory(
+                clicks_to_errors_stream_join(cs, es),
+                f"ss_join_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return emitted.select(
         "user_id", "click_id", "error_id", "click_ts", "error_ts"
     )
@@ -271,12 +275,15 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    with _scoped_shuffle(spark, _N_BATCHES):
-        emitted = run_to_memory(
-            deduped,
-            f"stream_dedup_replay_{uuid.uuid4().hex[:8]}",
-            f"{work}/ckpt",
-        )
+    try:
+        with _scoped_shuffle(spark, _N_BATCHES):
+            emitted = run_to_memory(
+                deduped,
+                f"stream_dedup_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return emitted.select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
