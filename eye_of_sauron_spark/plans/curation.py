@@ -239,14 +239,19 @@ _TFIDF_TOPK = 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by
-    tf * ln(N/df). Plan shape: one explode -> (doc, term) partial-agg
-    for tf; the df table is a second agg over the same exploded rows
-    and joins BROADCAST (vocabulary-sized, tiny next to the corpus);
-    the per-doc top-k is a window over doc_id — the same partitioning
-    the tf agg already produced, so Catalyst plans no extra exchange
-    between them."""
+    tf * ln(N/df). Plan shape: the exploded (doc, term) rows are
+    hash-partitioned on doc_id ONCE; that single clustering satisfies
+    the tf agg's (doc_id, term) grouping, the broadcast-joined scoring
+    projection, AND the per-doc top-k window, so the whole per-doc
+    side runs exchange-free after one shuffle. The df table is a
+    second agg over the same exploded rows (its term shuffle is
+    inherent) and joins BROADCAST — vocabulary-sized, tiny next to
+    the corpus."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     toks = d.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("term"))
+    toks = toks.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = toks.agg(F.countDistinct("doc_id").alias("n"))
