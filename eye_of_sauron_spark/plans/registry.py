@@ -73,6 +73,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "stream_join_replay",
     "stream_dedup_replay",
+    "stream_static_match_replay",
 )
 
 

@@ -31,6 +31,7 @@ from .harness import (
     write_microbatch_files_partitioned,
 )
 from .joins import clicks_to_errors_stream_join
+from .pipeline import match_stream
 from .reorder import reorder_stream
 
 # 64 cameras x up to 200 frames each, derived deterministically from
@@ -287,3 +288,68 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+# ------------------------------------------------- stream-static (A5)
+
+_MATCH_MIN_PURCHASE = 90.0  # target users: anyone with a purchase above this
+
+
+_STREAM_STATIC_ORACLE = f"""
+    SELECT e.event_id, e.user_id, e.event_type,
+           'predicted_object_raw_frame_topic_' ||
+               CAST(e.user_id % 4 AS VARCHAR) AS topic
+    FROM events e
+    WHERE e.user_id IN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > {_MATCH_MIN_PURCHASE}
+    )
+"""
+
+
+@query("stream_static_match_replay", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 stream-static broadcast match, driver-checked end-to-end:
+    the event stream replays as ordered file micro-batches against a
+    STATIC broadcast target set (users with a purchase above a
+    threshold — the 'uploaded faces' analog, reference
+    src/prediction_producer.py:222-228), through the real
+    ``match_stream`` operator (broadcast hash join + per-key topic
+    routing, A9's key convention). Every emitted row must match the
+    batch semi-join oracle exactly — a stream-static join needs no
+    watermark, so the replay is lossless by construction and any
+    micro-batch that missed the broadcast side would fail the
+    row-count compare."""
+    ev = load_table(spark, sf_dir, "events")
+    targets = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > _MATCH_MIN_PURCHASE)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    work = tempfile.mkdtemp(prefix="stream_static_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(
+            ev.select("event_id", "user_id", "event_type", "ts"), _N_BATCHES
+        ),
+        "batch",
+        _N_BATCHES,
+        f"{work}/in",
+    )
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP",
+    )
+    try:
+        with _scoped_shuffle(spark, _N_BATCHES):
+            emitted = run_to_memory(
+                match_stream(stream, targets),
+                f"stream_static_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select("event_id", "user_id", "event_type", "topic")
