@@ -134,6 +134,64 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(encode_images(load_table(spark, sf_dir, "documents")))
 
 
+def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Binary -> binary ``mapInPandas``: decode each IMG1 container,
+    halve its dimensions and subsample the payload (every
+    ``factor``-th byte — the fake codec's nearest-neighbor), and
+    re-encode a valid IMG1 container. The output column is BinaryType
+    again, so the stage composes with any other decoder — which is
+    exactly how the oracle checks it (resize -> image_stats chain)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(blob)
+                assert b[:4] == _MAGIC, "bad magic"
+                w, h = struct.unpack(">HH", b[4:8])
+                ch = b[8]
+                payload = b[9:][::factor]
+                out = (
+                    _MAGIC
+                    + struct.pack(">HH", max(1, w // factor), max(1, h // factor))
+                    + bytes([ch])
+                    + payload
+                )
+                ids.append(int(doc_id))
+                blobs.append(out)
+            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+
+    return images.select("doc_id", "image").mapInPandas(
+        resize, "doc_id long, image binary"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((16 + n_chars % 32) // 2 AS INT) AS width,
+           CAST((16 + doc_id % 32) // 2 AS INT) AS height,
+           3 AS channels,
+           CAST(((16 + n_chars % 32) // 2) * ((16 + doc_id % 32) // 2) * 3
+                AS INT) AS n_pixels,
+           CAST((least({_PAYLOAD_CAP}, n_chars) + 1) // 2 AS INT) AS payload_len
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of a media pipeline, round-trip checked:
+    encode (JVM expressions) -> resize (binary->binary mapInPandas)
+    -> decode stats (a SECOND independent mapInPandas pass over the
+    resized binaries). The oracle re-derives every output in closed
+    form from the source columns, so a malformed resized container —
+    wrong header, wrong dims, wrong payload stride — fails the hash.
+    Scale: both passes are narrow Arrow-batched maps; binary payloads
+    never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(resize_images(encode_images(docs)))
+
+
 def build_videos(events: DataFrame) -> DataFrame:
     """events -> (event_id, video BinaryType, n_frames). A "video" is
     1 + event_id % 12 concatenated 8-byte frames; byte j of frame i
@@ -189,6 +247,71 @@ def sample_frames(videos: DataFrame, step: int = _FRAME_STEP) -> DataFrame:
     return videos.mapInPandas(
         sampler, "event_id long, frame_idx int, checksum int"
     )
+
+
+def extract_frame_features(videos: DataFrame, step: int = _FRAME_STEP) -> DataFrame:
+    """1->N ``mapInPandas`` feature extractor: every ``step``-th frame
+    yields a (mean, min, max) byte-intensity feature row — the stub
+    stand-in for a real per-frame CNN/audio feature pass. Same Arrow
+    batch shape a real extractor would use; swap the body, keep the
+    plan."""
+
+    def extractor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means, mins, maxs = [], [], [], [], []
+            for event_id, blob in zip(pdf["event_id"], pdf["video"]):
+                b = bytes(blob)
+                for i in range(0, len(b) // _FRAME_BYTES, step):
+                    fr = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    ids.append(int(event_id))
+                    idxs.append(i)
+                    means.append(round(sum(fr) / len(fr), 4))
+                    mins.append(min(fr))
+                    maxs.append(max(fr))
+            yield pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "frame_idx": idxs,
+                    "f_mean": means,
+                    "f_min": mins,
+                    "f_max": maxs,
+                }
+            )
+
+    return videos.mapInPandas(
+        extractor,
+        "event_id long, frame_idx int, f_mean double, f_min int, f_max int",
+    )
+
+
+_FRAME_BYTE_TERMS = [
+    f"(v.event_id*7 + i*13 + {j}) % 256" for j in range(_FRAME_BYTES)
+]
+
+
+@query(
+    "multimodal_frame_features",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, CAST(1 + event_id % 12 AS INT) AS n_frames
+        FROM events WHERE {_VIDEO_FILTER}
+    )
+    SELECT v.event_id,
+           CAST(i AS INT) AS frame_idx,
+           round(({' + '.join(_FRAME_BYTE_TERMS)}) / {_FRAME_BYTES}.0, 4) AS f_mean,
+           CAST(least({', '.join(_FRAME_BYTE_TERMS)}) AS INT) AS f_min,
+           CAST(greatest({', '.join(_FRAME_BYTE_TERMS)}) AS INT) AS f_max
+    FROM v, unnest(range(0, v.n_frames, {_FRAME_STEP})) AS t(i)
+    """,
+)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame feature extraction over the binary video column —
+    the decode -> feature stage of a media training pipeline. The
+    mapInPandas extractor computes byte-intensity (mean, min, max)
+    per sampled frame; the oracle re-derives all three in closed form
+    from the frame formula, so any mis-sliced frame boundary or
+    off-by-one in the sampling stride fails the hash."""
+    return extract_frame_features(build_videos(load_table(spark, sf_dir, "events")))
 
 
 @query(

@@ -74,6 +74,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_join_replay",
     "stream_dedup_replay",
     "stream_static_match_replay",
+    "multimodal_resize",
+    "multimodal_frame_features",
 )
 
 
