@@ -316,6 +316,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 64 is ~2.5x the max fixture df (25 at sf0.1), so fixture results are
 # unchanged while the worst-case per-shingle emission is bounded at
 # 64^2 regardless of corpus size.
+#
+# The cap is a CORPUS PARAMETER, not a universal constant: every
+# shingle's df scales with the corpus duplication factor, so a cap
+# tuned for one density drops the near-dup signal itself at higher
+# density (measured at the 10x probe: cap=64 -> 0 pairs; cap=640 ->
+# the exact full-recall result, 3.4x faster than the uncapped r02
+# run; SCALE.md). Size it ~base_cap x expected duplication, and watch
+# ngram_dropped_shingle_count in production — a dropped-count spike
+# means the cap is eating signal, not stopwords.
 _NGRAM_DF_CAP = 64
 
 _NGRAM_ORACLE = f"""
