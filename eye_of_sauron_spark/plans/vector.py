@@ -55,6 +55,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition with an explicit count before CPU-heavy narrow
+    work (same rationale as plans/dedup.py::_spread): the local
+    fixture scans as ONE parquet split, which serializes the
+    per-vector cosine folds on a single core — measured at the 10x
+    probe, the brute-force scorer ran as one 149 s task without this.
+    On a cluster the exchange is no-op-sized next to the scan."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def _plane_lit_spark(p: int):
     return F.array(*[F.lit(float(v)) for v in _plane(p)])
 
@@ -155,7 +166,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = _spread(emb, "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
     cos = cosine_spark(F.col("qe"), F.col("ce"))
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
@@ -209,7 +222,9 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy/cost dial; the candidate join is an equi shuffle join on
     sig, scaling as O(corpus/2^planes) pairs per query."""
     emb = _t(spark, sf_dir, "embeddings")
-    sigs = emb.select("vec_id", "embedding", _sig_spark(F.col("embedding")).alias("sig"))
+    sigs = _spread(emb, "vec_id").select(
+        "vec_id", "embedding", _sig_spark(F.col("embedding")).alias("sig")
+    )
     q = sigs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig"
     )
@@ -307,7 +322,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ccos").desc(), F.col("cid").asc()
     )
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
+        _spread(emb, "vec_id")
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cid", cent_cos.alias("ccos"))
         .withColumn("rc", F.row_number().over(w_cell))
         .filter(F.col("rc") == 1)
