@@ -152,3 +152,51 @@ def test_vector_folds_match_numpy(spark_global, vecs):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_matches_union_find(spark_global, edges):
+    """Pointer-jumping min-label propagation must agree with a plain
+    union-find on arbitrary small graphs — chains, stars, cycles,
+    self-loops, parallel edges; the fixture graphs never cover all of
+    these shapes at once."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import connected_components
+
+    # reference: union-find with min-label components
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_of: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comp_of.setdefault(root, n)
+        comp_of[root] = min(comp_of[root], n)
+    want = {n: comp_of[find(n)] for n in parent}
+
+    rows = [Row(s=a, d=b) for a, b in edges] + [Row(s=b, d=a) for a, b in edges]
+    sym = spark_global.createDataFrame(rows)
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(sym).select("node", "comp").collect()
+    }
+    assert got == want
