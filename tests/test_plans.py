@@ -310,3 +310,17 @@ def test_embedding_dedup_banding_has_full_recall(spark, sf_dir):
     ).fetchall()
     assert banded == {(a, b) for a, b in exact}
     assert len(banded) > 0
+
+
+def test_verify_first_names_are_registered():
+    # every name the driver-priority list emits first must be a real
+    # registered query — ghost entries starve the rotation silently
+    # (VERDICT r03/r04); and priority names must be unique
+    from eye_of_sauron_spark.plans.registry import _REGISTRY, _VERIFY_FIRST
+
+    ghosts = [n for n in _VERIFY_FIRST if n not in _REGISTRY]
+    assert not ghosts, f"ghost _VERIFY_FIRST entries: {ghosts}"
+    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
+    # ordering contract: all_queries() leads with the priority names
+    first = list(plans.all_queries())[: len(_VERIFY_FIRST)]
+    assert first == list(_VERIFY_FIRST)
