@@ -241,12 +241,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by
     tf * ln(N/df). Plan shape: the exploded (doc, term) rows are
     hash-partitioned on doc_id ONCE; that single clustering satisfies
-    the tf agg's (doc_id, term) grouping, the broadcast-joined scoring
-    projection, AND the per-doc top-k window, so the whole per-doc
-    side runs exchange-free after one shuffle. The df table is a
-    second agg over the same exploded rows (its term shuffle is
-    inherent) and joins BROADCAST — vocabulary-sized, tiny next to
-    the corpus."""
+    the tf agg's (doc_id, term) grouping, the scoring projection, AND
+    the per-doc top-k window, so the whole per-doc side runs
+    exchange-free after one shuffle. The df table is a second agg
+    over the same exploded rows (its term shuffle is inherent). The
+    tf⋈df join is deliberately UNHINTED: at web scale the distinct
+    -term table (typos, unicode, code tokens) is GBs, and a forced
+    ``F.broadcast`` would OOM the driver — AQE broadcasts it at
+    runtime when its measured size is under the threshold and falls
+    back to shuffle-hash otherwise (VERDICT r05 #2)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     toks = d.select("doc_id", F.explode(tokens_spark(F.col("text"))).alias("term"))
     toks = toks.repartition(
@@ -256,7 +259,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = toks.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

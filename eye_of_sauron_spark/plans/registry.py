@@ -40,42 +40,46 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # last driver row r01/r02; no evidence since (r05 rotation)
-    "array_vector_scalars",
-    "binary_base64_codec",
-    "cross_join_region_pairs",
-    "datetime_bucketing",
-    "filter_projection_pushdown",
-    "json_extract_props",
-    "json_map_explode",
-    "json_serialize_roundtrip",
-    "minmax_by_segment",
-    "setop_except_customers",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "string_filename_parse",
-    "text_language_id",
-    "text_quality_score",
-    "text_term_stats",
-    "text_token_counts",
-    "theta_join_acctbal_dominance",
-    "topk_orders_by_price",
-    "topk_per_group_orders",
-    "unpivot_part_metrics",
-    # changed or first registered this round — need fresh evidence
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_multimodal",
-    "reorder_replay",
-    "split_train_val_test",
-    "pack_sequences",
-    "text_repetition_score",
+    # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
+    # these three were last driver-checked (r04) — fresh rows convert
+    # "green-but-stale" into green (VERDICT r05 #1).
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    # model-UDF pipelines, last checked r04
+    "ml_face_pipeline",
+    "ml_match_first_target",
+    # modified this round (r06) — need post-change evidence
     "tfidf_top_terms",
-    "stream_join_replay",
-    "stream_dedup_replay",
-    "stream_static_match_replay",
-    "multimodal_resize",
-    "multimodal_frame_features",
+    # remaining r04-evidence block (all other registered queries were
+    # checked in r05): dedup/text/windows/joins/relational/streaming
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "grouped_map_session_stats",
+    "sql_revenue_top_nations",
+    "correlated_subquery_above_avg",
+    "flagship_purchases_by_nation",
+    "pricing_summary",
+    "join_revenue_by_priority",
+    "semi_join_active_customers",
+    "anti_join_silent_customers",
+    "outer_join_order_count_histogram",
+    "doc_fingerprint",
+    "text_pii_scrub",
+    "deterministic_sample_documents",
+    "text_chunking",
+    "window_rank_customers",
+    "window_running_total",
+    "window_lag_event_gaps",
+    "window_moving_avg",
+    "window_lead_transitions",
+    "window_ntile_spend_quartiles",
+    "window_first_match_semantics",
+    "multimodal_image_stats",
+    "multimodal_frame_sample",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
 )
 
 

@@ -324,3 +324,30 @@ def test_verify_first_names_are_registered():
     # ordering contract: all_queries() leads with the priority names
     first = list(plans.all_queries())[: len(_VERIFY_FIRST)]
     assert first == list(_VERIFY_FIRST)
+
+
+def test_tfidf_vocab_join_degrades_to_shuffle(spark, sf_dir):
+    # the tf⋈df vocabulary join must NOT carry an explicit broadcast
+    # hint: at web scale the distinct-term table is GBs and a forced
+    # broadcast OOMs (VERDICT r05 #2). With the auto-broadcast
+    # threshold disabled (simulating a vocab side too large to
+    # broadcast) the join must degrade to a shuffle join — a hint
+    # would override the threshold and keep BroadcastHashJoin.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p = _plan(spark, sf_dir, "tfidf_top_terms")
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
