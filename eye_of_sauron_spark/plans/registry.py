@@ -49,8 +49,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # model-UDF pipelines, last checked r04
     "ml_face_pipeline",
     "ml_match_first_target",
-    # modified this round (r06) — need post-change evidence
+    # modified or first registered this round (r06) — need evidence
     "tfidf_top_terms",
+    "stream_rebroadcast_replay",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

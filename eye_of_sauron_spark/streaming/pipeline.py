@@ -37,6 +37,50 @@ def match_stream(events: DataFrame, targets: DataFrame) -> DataFrame:
     )
 
 
+def run_match_rebroadcast_stream(
+    events_stream: DataFrame,
+    targets_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """A5 with DYNAMIC target re-broadcast: the reference swaps the
+    target-face set mid-stream when a user re-uploads (web/views.py:
+    144-216, 165-169) and every matcher picks the new set up for
+    subsequent frames. Spark analog: the target table lives at a path
+    and foreachBatch RE-READS it at every micro-batch, so an overwrite
+    of the table between micro-batches swaps the broadcast side for
+    all later batches — no query restart, no code change. The target
+    table carries a ``target_version`` column that flows into the
+    output, making "which target set matched this row" an auditable,
+    oracle-checkable fact rather than a timing accident.
+
+    Scale shape: the per-batch re-read is a tiny parquet scan (the
+    target set is query-sized, not corpus-sized) followed by an
+    explicit broadcast; the stream side never re-shuffles."""
+
+    def _match(batch: DataFrame, _epoch_id: int) -> None:
+        targets = batch.sparkSession.read.parquet(targets_path)
+        (
+            batch.join(F.broadcast(targets), "user_id")
+            .withColumn(
+                "topic",
+                F.concat(
+                    F.lit(TOPIC_PREFIX), (F.col("user_id") % 4).cast("string")
+                ),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_match)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_face_pipeline_stream(
     frames_stream: DataFrame,
     targets: DataFrame,

@@ -31,7 +31,7 @@ from .harness import (
     write_microbatch_files_partitioned,
 )
 from .joins import clicks_to_errors_stream_join
-from .pipeline import match_stream
+from .pipeline import match_stream, run_match_rebroadcast_stream
 from .reorder import reorder_stream
 
 # 64 cameras x up to 200 frames each, derived deterministically from
@@ -353,3 +353,123 @@ def stream_static_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return emitted.select("event_id", "user_id", "event_type", "topic")
+
+
+# ------------------------------------- dynamic re-broadcast (A5 full)
+
+_REBROADCAST_BATCHES = 8  # event_id % 8; batches 0-3 = phase A, 4-7 = B
+_REBROADCAST_THRESH_A = 90.0  # initial upload: purchases above this
+_REBROADCAST_THRESH_B = 50.0  # re-upload mid-stream: widened target set
+
+_REBROADCAST_ORACLE = f"""
+    WITH a AS (
+        SELECT DISTINCT user_id, CAST(0 AS INT) AS target_version
+        FROM events
+        WHERE event_type = 'purchase' AND value > {_REBROADCAST_THRESH_A}
+    ),
+    b AS (
+        SELECT DISTINCT user_id, CAST(1 AS INT) AS target_version
+        FROM events
+        WHERE event_type = 'purchase' AND value > {_REBROADCAST_THRESH_B}
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           'predicted_object_raw_frame_topic_' ||
+               CAST(e.user_id % 4 AS VARCHAR) AS topic,
+           t.target_version
+    FROM events e JOIN a t ON e.user_id = t.user_id
+    WHERE e.event_id % {_REBROADCAST_BATCHES} < {_REBROADCAST_BATCHES // 2}
+    UNION ALL
+    SELECT e.event_id, e.user_id, e.event_type,
+           'predicted_object_raw_frame_topic_' ||
+               CAST(e.user_id % 4 AS VARCHAR) AS topic,
+           t.target_version
+    FROM events e JOIN b t ON e.user_id = t.user_id
+    WHERE e.event_id % {_REBROADCAST_BATCHES} >= {_REBROADCAST_BATCHES // 2}
+"""
+
+
+def _write_targets(ev: DataFrame, thresh: float, version: int, path: str) -> None:
+    """The 'upload': (re)write the whole target table with a version
+    stamp — reference web/views.py:165-169 re-broadcasts the full
+    face set on every upload, never a delta."""
+    (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > thresh)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("target_version", F.lit(version).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query("stream_rebroadcast_replay", oracle=_REBROADCAST_ORACLE)
+def stream_rebroadcast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 DYNAMIC target re-broadcast, driver-checked end-to-end: the
+    event stream replays as 8 file micro-batches through
+    ``run_match_rebroadcast_stream`` (foreachBatch re-reads the target
+    table every batch). After the first 4 batches drain, the target
+    table is OVERWRITTEN with a different set (the reference's
+    mid-stream re-upload, web/views.py:144-216) and the stream resumes
+    from the same checkpoint for batches 4-7. Each output row carries
+    the ``target_version`` of the set that matched it, so the oracle
+    pins the swap itself: a stale broadcast on the later batches (or a
+    premature swap on the earlier ones) changes the version column —
+    or drops B-only matches — and fails the hash compare. The shared
+    checkpoint additionally proves A10 resume: run 2 must not re-emit
+    batches 0-3 (duplicates would double the row count).
+
+    Batch assignment is event_id % 8 — a stream-static join holds no
+    watermark state, so arrival order is irrelevant and the phase
+    boundary is exactly SQL-expressible."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    half = _REBROADCAST_BATCHES // 2
+    sliced = ev.select("event_id", "user_id", "event_type").withColumn(
+        "batch", (F.col("event_id") % _REBROADCAST_BATCHES).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="rebroadcast_replay_")
+    try:
+        write_microbatch_files_partitioned(
+            sliced, "batch", _REBROADCAST_BATCHES, f"{work}/all"
+        )
+        os.makedirs(f"{work}/in", exist_ok=True)
+        schema = "event_id BIGINT, user_id BIGINT, event_type STRING"
+        # phase A: only batches 0-3 exist; targets = initial upload
+        for i in range(half):
+            os.replace(
+                f"{work}/all/batch_{i:04d}.parquet",
+                f"{work}/in/batch_{i:04d}.parquet",
+            )
+        _write_targets(ev, _REBROADCAST_THRESH_A, 0, f"{work}/targets")
+        run_match_rebroadcast_stream(
+            file_stream(spark, f"{work}/in", schema),
+            f"{work}/targets",
+            f"{work}/out",
+            f"{work}/ckpt",
+        )
+        # the re-upload: swap the target table, then let the stream
+        # resume from the SAME checkpoint over the remaining batches
+        _write_targets(ev, _REBROADCAST_THRESH_B, 1, f"{work}/targets")
+        for i in range(half, _REBROADCAST_BATCHES):
+            os.replace(
+                f"{work}/all/batch_{i:04d}.parquet",
+                f"{work}/in/batch_{i:04d}.parquet",
+            )
+        run_match_rebroadcast_stream(
+            file_stream(spark, f"{work}/in", schema),
+            f"{work}/targets",
+            f"{work}/out",
+            f"{work}/ckpt",
+        )
+        out = spark.read.parquet(f"{work}/out").select(
+            "event_id", "user_id", "event_type", "topic", "target_version"
+        )
+        # the memory the sink parquet occupies is needed past the
+        # tempdir's life — localCheckpoint pins the rows, not the files
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
