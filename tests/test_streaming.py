@@ -406,25 +406,14 @@ def test_observed_latency_metrics_listener(spark, sf_dir, event_stream_dir, even
         assert obs["max_latency_ms"] >= obs["avg_latency_ms"] >= 0
 
 
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs google.protobuf (not in container)",
-)
 def test_change_detector_drops_consecutive_duplicates(spark, tmp_path):
-    """A1 'smart mode' as a StatefulProcessor
-    (transformWithStateInPandas): per camera, only frames whose
-    payload differs from the last EMITTED frame survive; state
-    carries across micro-batches (the batch-2 repeat of batch-1's
-    final hash is dropped)."""
+    """A1 'smart mode' as a keyed stateful operator: per camera, only
+    frames whose payload differs from the last EMITTED frame survive;
+    state carries across micro-batches (the batch-2 repeat of
+    batch-1's final hash is dropped). ``drop_unchanged_frames``
+    auto-dispatches transformWithStateInPandas vs
+    applyInPandasWithState on protobuf availability, so this test
+    executes the real stateful path in EVERY environment — no skip."""
     from eye_of_sauron_spark.streaming.change_detect import drop_unchanged_frames
 
     schema = "camera INT, frame_num INT, payload_hash STRING"
