@@ -152,6 +152,11 @@ def frames_from_events(events: DataFrame) -> DataFrame:
                 F.concat_ws("|", (F.col("user_id") % 50), F.col("event_type")), 256
             )
         ).alias("payload"),
+        # ingest timestamp as unix seconds — what the producer embeds
+        # in the wire message (frame_producer.py:174) and the latency
+        # metric subtracts; exact micros/1e6 so oracles can reproduce
+        # the double bit-for-bit
+        (F.unix_micros(F.col("ts")) / F.lit(1000000.0)).alias("t"),
     )
     # pin the partition count: the local fixture is one parquet split,
     # and the byte-based AQE coalescer would serialize the pandas-UDF

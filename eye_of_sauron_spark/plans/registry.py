@@ -52,6 +52,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # modified or first registered this round (r06) — need evidence
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
+    "kafka_decode_replay",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

@@ -57,13 +57,74 @@ def kafka_reader_options(
 
 def decode_frame_messages(raw: DataFrame) -> DataFrame:
     """Kafka (key BINARY, value BINARY) -> typed frame columns per
-    FRAME_MESSAGE_SCHEMA, plus the record key as a string. Pure
-    column transforms — works identically on batch DataFrames, which
-    is how the contract test drives it without a broker."""
+    FRAME_MESSAGE_SCHEMA, plus the record key as a string. Other
+    source columns (topic, partition, offset, ...) pass through
+    untouched, EXCEPT the broker-side ``timestamp`` — the decoded
+    message carries the producer-embedded ingest ``timestamp``, which
+    is the one the reference's latency metric subtracts
+    (src/prediction_producer.py:357). Pure column transforms — works
+    identically on batch DataFrames, which is how the contract test
+    drives it without a broker."""
+    passthrough = [
+        c for c in raw.columns if c not in ("key", "value", "timestamp")
+    ]
     return raw.select(
+        *passthrough,
         F.col("key").cast("string").alias("record_key"),
         F.from_json(F.col("value").cast("string"), FRAME_MESSAGE_SCHEMA).alias("m"),
-    ).select("record_key", "m.*")
+    ).select(*passthrough, "record_key", "m.*")
+
+
+def encode_frame_records(
+    frames: DataFrame,
+    topic: str = "raw_frame_topic",
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Producer-side wire encoding (A2 serialize + A3 keyed publish,
+    reference src/frame_producer.py:153-182 + utils.py:248-254): a
+    (camera INT, frame_num INT/BIGINT, payload BINARY, t DOUBLE)
+    frames relation becomes Kafka-shaped records —
+
+    - ``value``: the JSON frame message (np_to_json triple with the
+      base64 payload, dtype ``|u1``, 1-D shape) as bytes;
+    - ``key``: "{camera}_{frame_num}" bytes
+      (prediction_producer.py:114);
+    - ``topic`` / ``partition``: keyed publish — every frame of one
+      camera lands in one partition (camera % n_partitions), so
+      per-camera order survives the broker;
+    - ``offset``: the partition-local publish sequence (row_number
+      over frame_num — deterministic stand-in for broker-assigned
+      offsets).
+
+    ``decode_frame_messages(encode_frame_records(f))`` recovers every
+    typed field exactly; the kafka_decode_replay query pins that
+    round trip through real micro-batches against a DuckDB oracle."""
+    from pyspark.sql.window import Window as W
+
+    part = (F.col("camera") % n_partitions).cast("int")
+    value = F.to_json(
+        F.struct(
+            F.col("t").alias("timestamp"),
+            F.col("camera"),
+            F.col("frame_num"),
+            F.base64(F.col("payload")).alias("original_frame"),
+            F.lit("|u1").alias("original_dtype"),
+            F.array(F.length("payload").cast("int")).alias("original_shape"),
+        )
+    )
+    return frames.select(
+        frame_record_key(F.col("camera"), F.col("frame_num"))
+        .cast("binary")
+        .alias("key"),
+        value.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        (
+            F.row_number().over(W.partitionBy(part).orderBy("frame_num")) - 1
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
 
 
 def frame_record_key(camera: Column, frame_num: Column) -> Column:

@@ -473,3 +473,107 @@ def stream_rebroadcast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------ kafka wire path (A2)
+
+_KAFKA_REPLAY_BATCHES = 4
+
+# The oracle reconstructs the ENTIRE wire round trip from the events
+# table alone: payload bytes (sha256 of the producer formula), base64
+# text, record key, keyed-publish partition/offset, the embedded
+# ingest timestamp (epoch_us/1e6 — the identical integer-to-double
+# division Spark performs, so the doubles match bit-for-bit), and the
+# detect-stub face count from the payload's first byte.
+_KAFKA_DECODE_ORACLE = """
+    WITH frames AS (
+        SELECT CAST(user_id % 8 AS INT) AS camera,
+               CAST(event_id AS INT) AS frame_num,
+               sha256(CAST(user_id % 50 AS VARCHAR) || '|' || event_type) AS ph,
+               epoch_us(ts) / 1000000.0 AS t
+        FROM events WHERE event_id % 20 = 0
+    )
+    SELECT CAST(camera AS VARCHAR) || '_' || CAST(frame_num AS VARCHAR)
+               AS record_key,
+           'raw_frame_topic' AS topic,
+           CAST(camera % 4 AS INT) AS "partition",
+           CAST(row_number() OVER (
+               PARTITION BY camera % 4 ORDER BY frame_num
+           ) - 1 AS BIGINT) AS "offset",
+           camera, frame_num, t AS timestamp,
+           base64(from_hex(ph)) AS original_frame,
+           '|u1' AS original_dtype,
+           [CAST(32 AS INT)] AS original_shape,
+           CAST(((strpos('0123456789abcdef', substr(ph, 1, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(ph, 2, 1)) - 1)) % 3
+                AS INT) AS n_faces,
+           TRUE AS pipeline_ok
+    FROM frames
+"""
+
+
+@query("kafka_decode_replay", oracle=_KAFKA_DECODE_ORACLE)
+def kafka_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka wire path end-to-end WITHOUT a broker: frames are
+    producer-encoded to binary (key, value, topic, partition, offset)
+    records (encode_frame_records — the reference's np_to_json +
+    keyed publish, src/frame_producer.py:153-182), written as a
+    parquet fixture, replayed through real micro-batches in the EXACT
+    row shape a ``format("kafka")`` source yields, decoded by
+    ``decode_frame_messages``, and the decoded frames then drive the
+    full A4->A7 face pipeline. The oracle independently reconstructs
+    every decoded field from the events table — any drift in the JSON
+    field names, base64/dtype/shape triple, key format, or keyed
+    partition/offset assignment breaks the hash compare. n_faces ties
+    the DECODED payload bytes to the detect stage (the stub's face
+    count is a pure function of the first payload byte);
+    ``pipeline_ok`` forces match + annotate to execute per frame
+    (their values are model-stub-dependent and stay pytest-checked:
+    tests/test_ml.py, ml_face_pipeline)."""
+    from ..ml.pipeline import face_pipeline, first_faces_targets, frames_from_events
+    from ..sources.streams import decode_frame_messages, encode_frame_records
+
+    frames = frames_from_events(load_table(spark, sf_dir, "events"))
+    wire = encode_frame_records(frames).withColumn(
+        "batch", (F.col("offset") % _KAFKA_REPLAY_BATCHES).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="kafka_decode_replay_")
+    try:
+        write_microbatch_files_partitioned(
+            wire, "batch", _KAFKA_REPLAY_BATCHES, f"{work}/in"
+        )
+        stream = file_stream(
+            spark,
+            f"{work}/in",
+            "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT",
+        )
+        decoded = run_to_memory(
+            decode_frame_messages(stream),
+            f"kafka_decode_replay_{uuid.uuid4().hex[:8]}",
+            f"{work}/ckpt",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    pframes = decoded.select(
+        "camera", "frame_num", F.unbase64("original_frame").alias("payload")
+    )
+    pframes = pframes.repartition(
+        spark.sparkContext.defaultParallelism, "camera", "frame_num"
+    )
+    pipe = face_pipeline(pframes, first_faces_targets(pframes))
+    return decoded.join(pipe, ["camera", "frame_num"]).select(
+        "record_key",
+        "topic",
+        "partition",
+        "offset",
+        "camera",
+        "frame_num",
+        "timestamp",
+        "original_frame",
+        "original_dtype",
+        "original_shape",
+        "n_faces",
+        (F.col("prediction").isNotNull() & (F.col("annotated_len") > 6)).alias(
+            "pipeline_ok"
+        ),
+    )

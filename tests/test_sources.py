@@ -114,3 +114,57 @@ def test_checkpoint_lifecycle(tmp_path):
 def test_checkpoint_refuses_escape(tmp_path):
     with pytest.raises(ValueError, match="escapes root"):
         catalog.clear_checkpoint(str(tmp_path), "../outside")
+
+
+def test_decode_passes_kafka_metadata_through(spark):
+    # a format("kafka") row carries (key, value, topic, partition,
+    # offset, timestamp, timestampType); decode must keep the routing
+    # metadata and drop only the broker-side timestamp in favor of the
+    # producer-embedded ingest timestamp (the latency-metric one)
+    msg = {
+        "timestamp": 1723500000.25,
+        "camera": 3,
+        "frame_num": 41,
+        "original_frame": "AAECAw==",
+        "original_dtype": "|u1",
+        "original_shape": [4],
+    }
+    raw = spark.createDataFrame(
+        [("3_41", json.dumps(msg), "raw_frame_topic", 3, 17)],
+        "key STRING, value STRING, topic STRING, partition INT, offset BIGINT",
+    ).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.lit("2024-08-12 22:40:00").cast("timestamp").alias("timestamp"),
+    )
+    row = decode_frame_messages(raw).collect()[0]
+    assert row["topic"] == "raw_frame_topic"
+    assert row["partition"] == 3 and row["offset"] == 17
+    assert row["record_key"] == "3_41"
+    # the surviving timestamp is the in-message ingest time (double),
+    # not the broker timestamp
+    assert row["timestamp"] == pytest.approx(1723500000.25)
+
+
+def test_encode_decode_frame_records_roundtrip(spark):
+    from eye_of_sauron_spark.sources.streams import encode_frame_records
+
+    frames = spark.createDataFrame(
+        [(3, 41, b"\x00\x01\x02\x03", 1723500000.25),
+         (3, 42, b"\xff\xfe", 1723500001.5),
+         (6, 7, b"zz", 1723500002.0)],
+        "camera INT, frame_num INT, payload BINARY, t DOUBLE",
+    )
+    wire = encode_frame_records(frames, n_partitions=4)
+    # keyed publish: camera -> one partition, offsets dense per partition
+    rows = {r["record_key"]: r for r in decode_frame_messages(wire).collect()}
+    assert set(rows) == {"3_41", "3_42", "6_7"}
+    assert rows["3_41"]["partition"] == 3 and rows["6_7"]["partition"] == 2
+    assert {rows["3_41"]["offset"], rows["3_42"]["offset"]} == {0, 1}
+    assert rows["3_41"]["original_frame"] == "AAECAw=="
+    assert rows["3_41"]["original_dtype"] == "|u1"
+    assert rows["3_41"]["original_shape"] == [4]
+    assert rows["3_41"]["timestamp"] == pytest.approx(1723500000.25)
