@@ -53,6 +53,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

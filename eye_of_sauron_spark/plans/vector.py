@@ -133,9 +133,7 @@ def _sig_duck(emb: str) -> str:
     return hyperplane_sig_duck(emb, range(_N_PLANES))
 
 
-@query(
-    "similarity_topk_cosine",
-    oracle=f"""
+_COSINE_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qe FROM embeddings
         WHERE {_QUERY_FILTER}
@@ -156,8 +154,10 @@ def _sig_duck(emb: str) -> str:
     SELECT qid AS query_id, CAST(rn AS INT) AS rank,
            cid AS cand_id, round(cos, 6) AS cosine
     FROM ranked WHERE rn <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("similarity_topk_cosine", oracle=_COSINE_ORACLE)
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k cosine: broadcast query set x corpus
     scan, per-query ranking window. The corpus never shuffles until
@@ -186,9 +186,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_topk_lsh",
-    oracle=f"""
+_LSH_ORACLE = f"""
     WITH sigs AS (
         SELECT vec_id, embedding, {_sig_duck('embedding')} AS sig
         FROM embeddings
@@ -212,8 +210,10 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT qid AS query_id, CAST(rn AS INT) AS rank,
            cid AS cand_id, round(cos, 6) AS cosine
     FROM ranked WHERE rn <= {_LSH_TOPK}
-    """,
-)
+    """
+
+
+@query("similarity_topk_lsh", oracle=_LSH_ORACLE)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures bucket the
     corpus; each query only scores its own bucket (equi-join on the
@@ -253,9 +253,7 @@ _IVF_NPROBE = 2
 _IVF_TOPK = 3
 
 
-@query(
-    "similarity_topk_ivf",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings
         ORDER BY vec_id LIMIT {_IVF_CELLS}
@@ -297,8 +295,10 @@ _IVF_TOPK = 3
     SELECT qid AS query_id, CAST(rn AS INT) AS rank,
            cid_cand AS cand_id, round(cos, 6) AS cosine
     FROM ranked WHERE rn <= {_IVF_TOPK}
-    """,
-)
+    """
+
+
+@query("similarity_topk_ivf", oracle=_IVF_ORACLE)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN — the second scale path next to LSH: a small
     deterministic centroid set (the coarse quantizer; k-means in
@@ -362,3 +362,79 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------------ recall audits
+
+_RECALL_K = 3  # == _LSH_TOPK == _IVF_TOPK, so both ANN paths rank 3 deep
+
+
+def _recall_oracle(ann_oracle: str) -> str:
+    """recall@k of an ANN result against the exact brute-force top-k,
+    REUSING the registered oracles as nested CTEs — both engines
+    compute the identical number from first principles."""
+    return f"""
+    WITH exact_full AS ({_COSINE_ORACLE}),
+         ann_full AS ({ann_oracle}),
+         exact_k AS (
+             SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
+         ),
+         ann_k AS (
+             SELECT query_id, cand_id FROM ann_full WHERE rank <= {_RECALL_K}
+         )
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS INT) AS n_hits,
+           round(count(a.cand_id) / {_RECALL_K}.0, 6) AS recall
+    FROM exact_k e LEFT JOIN ann_k a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """
+
+
+def _recall_of(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
+    """Per-query recall@k: |ANN top-k ∩ exact top-k| / k. The exact
+    side is the brute-force scan (the expensive audit baseline — at
+    100 TB this runs over a SAMPLED query set, which is exactly what
+    _QUERY_FILTER is); the join/agg sides are O(queries x k) rows, so
+    everything after the two scans is broadcast-sized by
+    construction."""
+    exact = (
+        similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "cand_id")
+    )
+    ann = (
+        ann_fn(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select(F.col("query_id").alias("aq"), F.col("cand_id").alias("ac"))
+    )
+    joined = exact.join(
+        F.broadcast(ann),
+        (F.col("query_id") == F.col("aq")) & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("ac").cast("int").alias("n_hits"),
+        F.round(F.count("ac") / F.lit(float(_RECALL_K)), 6).alias("recall"),
+    )
+
+
+@query("similarity_lsh_recall", oracle=_recall_oracle(_LSH_ORACLE))
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH path vs the exact top-3, per
+    query — approximation quality as a driver-checked contract, not a
+    pytest-only fact. A bucketing regression (bad plane literals, sig
+    drift between engines, a lost bucket) shows up as a recall drop
+    on BOTH engines only if they drift identically — the oracle
+    recomputes signatures independently, so one-sided drift fails the
+    hash compare outright."""
+    return _recall_of(spark, sf_dir, similarity_topk_lsh)
+
+
+@query("similarity_ivf_recall", oracle=_recall_oracle(_IVF_ORACLE))
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF path (coarse cells + nprobe=2) vs the
+    exact top-3, per query. Together with similarity_lsh_recall this
+    makes the accuracy/cost dial of every ANN path a measured,
+    hash-checked number."""
+    return _recall_of(spark, sf_dir, similarity_topk_ivf)
