@@ -66,6 +66,12 @@ def write_microbatch_files_partitioned(
     base = time.time() - 3600
     for i in range(n_batches):
         pdir = os.path.join(stage, f"{batch_col}={i}")
+        # a batch value with zero rows writes no partition dir (e.g.
+        # _time_sliced octiles on a skewed timestamp distribution);
+        # skip it — an absent file is an empty micro-batch, and the
+        # remaining files keep their mtime ordering
+        if not os.path.isdir(pdir):
+            continue
         files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
         # hash partitioning puts all rows of one batch value in one
         # task, so each partition dir holds exactly one file

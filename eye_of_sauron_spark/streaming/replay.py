@@ -139,7 +139,15 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scoped_shuffle(spark: SparkSession, n: int):
     """Temporarily size the stateful shuffle for a replay's own scale
     (fresh checkpoint per invocation, so the state partitioning is
-    per-run); restores the session conf on exit."""
+    per-run); restores the session conf on exit.
+
+    SERIAL-ONLY: this mutates the session-wide shuffle-partition conf
+    for the duration of the replay, so any query planned concurrently
+    in the same SparkSession would silently get the replay's tiny
+    partition count. The driver/bench/pytest harnesses all run
+    queries serially; if concurrent execution ever appears, scope the
+    setting per-query (session clone or stream-level option)
+    instead."""
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", str(n))

@@ -12,6 +12,7 @@ from eye_of_sauron_spark.plans.curation import (
     text_repetition_score,
     tfidf_top_terms,
 )
+from eye_of_sauron_spark.functions.text import tokens_spark
 from eye_of_sauron_spark.sources import load_table
 
 
@@ -31,11 +32,14 @@ def test_split_is_total_and_deterministic(spark, sf_dir):
 
 def test_pack_sequences_conserves_tokens_and_bins_are_contiguous(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # derive the expected counts with the OPERATOR'S tokenizer so a
+    # tokenizer change shows up as a pack_sequences diff, not a silent
+    # desync of this invariant (ADVICE r05)
     per_lang_tokens = {
         r["lang"]: (r["toks"], r["n"])
         for r in docs.groupBy("lang")
         .agg(
-            F.sum(F.size(F.split("text", " "))).alias("toks"),
+            F.sum(F.size(tokens_spark(F.col("text")))).alias("toks"),
             F.count("*").alias("n"),
         )
         .collect()

@@ -22,6 +22,7 @@ from eye_of_sauron_spark.streaming.harness import (
     file_stream,
     run_to_memory,
     write_microbatch_files,
+    write_microbatch_files_partitioned,
 )
 from eye_of_sauron_spark.streaming.pipeline import match_stream, run_routed_file_sink
 from eye_of_sauron_spark.streaming.reorder import reorder_stream
@@ -444,3 +445,18 @@ def test_change_detector_drops_consecutive_duplicates(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     got = sorted((r["camera"], r["frame_num"], r["payload_hash"]) for r in out)
     assert got == [(0, 0, "a"), (0, 2, "b"), (0, 4, "c"), (1, 0, "x"), (1, 2, "y")]
+
+
+def test_microbatch_writer_skips_empty_batches(spark, tmp_path):
+    # a batch value with zero rows must not crash the writer (ADVICE
+    # r05: _time_sliced can yield empty octiles on skewed timestamp
+    # distributions); the absent file is just an empty micro-batch
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 3)], "v INT, batch INT"
+    )
+    out = str(tmp_path / "mb")
+    write_microbatch_files_partitioned(df, "batch", 4, out)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files == ["batch_0000.parquet", "batch_0003.parquet"]
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["v"] for r in got) == [1, 2, 3]
