@@ -38,17 +38,38 @@ _FRAME_STEP = 3
 _VIDEO_FILTER = "event_id % 50 = 0"
 
 
-def decode_image_real(payload: bytes):
-    """Real image decode — requires an imaging library this container
-    does not ship. STUB: swap in PIL/cv2 in production."""
+def has_pil() -> bool:
+    """True when PIL is importable — the feature gate for the real
+    image codec. The sandbox container ships no imaging library, so
+    there the IMG1 fake codec is the only decode path; any
+    environment with Pillow installed decodes real bytes through the
+    identical mapInPandas plumbing."""
     try:
         import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real image decode (PNG/JPEG/... via PIL): returns (width,
+    height, channels, raw RGB bytes) — the same tuple shape the IMG1
+    header parse yields, so the two codecs are drop-in swaps inside
+    ``image_stats``. Raises NotImplementedError ONLY where PIL is
+    genuinely absent (reference decodes with cv2,
+    src/utils.py:196-209)."""
+    try:
+        import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
             "real image decode needs PIL/cv2; use the IMG1 fake codec "
             "(encode_images/image_stats) in this environment"
         ) from e
-    raise NotImplementedError("wire PIL.Image.open here")
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, 3, img.tobytes()
 
 
 def _be16(col: Column) -> Column:
@@ -78,20 +99,32 @@ def encode_images(docs: DataFrame) -> DataFrame:
     )
 
 
-def image_stats(images: DataFrame) -> DataFrame:
-    """Decode the IMG1 container batch-wise and emit per-image stats.
-    1->1 ``mapInPandas``: header parse + payload measurements happen
-    in Python over Arrow batches, never per-row over the wire."""
+def image_stats(images: DataFrame, codec: str = "img1") -> DataFrame:
+    """Decode the image column batch-wise and emit per-image stats.
+    1->1 ``mapInPandas``: decode + payload measurements happen in
+    Python over Arrow batches, never per-row over the wire.
+
+    ``codec="img1"`` parses the fake container header (sandbox path);
+    ``codec="real"`` decodes genuine PNG/JPEG bytes via PIL
+    (decode_image_real) — identical schema, identical plan shape, so
+    environments with Pillow swap codecs without touching the Spark
+    side."""
+    if codec not in ("img1", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
                 b = bytes(blob)
-                assert b[:4] == _MAGIC, "bad magic"
-                w, h = struct.unpack(">HH", b[4:8])
-                ch = b[8]
-                payload = b[9:]
+                if codec == "real":
+                    w, h, ch, raw = decode_image_real(b)
+                    payload = raw
+                else:
+                    assert b[:4] == _MAGIC, "bad magic"
+                    w, h = struct.unpack(">HH", b[4:8])
+                    ch = b[8]
+                    payload = b[9:]
                 rows.append(
                     (int(doc_id), w, h, ch, w * h * ch, len(payload))
                 )

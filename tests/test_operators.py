@@ -4,6 +4,7 @@ partition-pruned read-back of the routed parquet sink."""
 
 from __future__ import annotations
 
+import base64
 import struct
 
 import pytest
@@ -11,7 +12,6 @@ from pyspark.sql import functions as F
 
 from eye_of_sauron_spark.operators.multimodal import (
     build_videos,
-    decode_image_real,
     encode_images,
     image_stats,
     sample_frames,
@@ -58,11 +58,6 @@ def test_frame_sampling_counts(spark, sf_dir):
     assert sampled.filter("frame_idx % 3 != 0").count() == 0
 
 
-def test_real_decode_is_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"IMG1xxxx")
-
-
 def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "routed")
@@ -103,3 +98,39 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# A tiny valid 1x1 PNG (red pixel) for the real-codec branch.
+_PNG_1PX = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+    "2mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_real_image_codec_branch(spark):
+    """Both branches of the PIL feature gate execute meaningfully: with
+    Pillow installed the REAL bytes decode through the same
+    mapInPandas plumbing as IMG1; without it the gate raises
+    NotImplementedError — and is the ONLY place that error lives."""
+    from eye_of_sauron_spark.operators import multimodal as mm
+
+    if mm.has_pil():
+        w, h, ch, raw = mm.decode_image_real(_PNG_1PX)
+        assert (w, h, ch) == (1, 1, 3) and len(raw) == 3
+        df = spark.createDataFrame(
+            [(1, bytearray(_PNG_1PX))], "doc_id LONG, image BINARY"
+        )
+        row = mm.image_stats(df, codec="real").collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (1, 1, 3)
+        assert row["n_pixels"] == 3 and row["payload_len"] == 3
+    else:
+        with pytest.raises(NotImplementedError, match="real image decode"):
+            mm.decode_image_real(_PNG_1PX)
+
+
+def test_image_stats_rejects_unknown_codec(spark):
+    from eye_of_sauron_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id LONG, image BINARY")
+    with pytest.raises(ValueError, match="unknown codec"):
+        mm.image_stats(df, codec="tiff")
