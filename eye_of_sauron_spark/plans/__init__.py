@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     aggregation,
     asof,
     curation,
+    decontam,
     dedup,
     grouped,
     relational,

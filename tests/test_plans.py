@@ -351,3 +351,32 @@ def test_tfidf_vocab_join_degrades_to_shuffle(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
             )
+
+
+def test_decontam_broadcasts_eval_spans(spark, sf_dir):
+    # the eval-span set is a fixed benchmark (corpus-independent size):
+    # the corpus-side match must be a broadcast hash join so the
+    # training corpus never shuffles on span
+    p = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_substring_spans_is_join_free(spark, sf_dir):
+    # one exchange on (lang, span) for the df window; no join at all
+    p = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_mixture_prefilters_before_window(spark, sf_dir):
+    # the per-source cutoff table (one row per source) broadcasts, and
+    # the hv < cut pre-filter must sit below the row_number window so
+    # the sort only sees ~margin*cap survivors per source
+    p = _plan(spark, sf_dir, "mixture_cap_per_source")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    filter_pos = p.index("(hv")
+    window_pos = p.index("row_number")
+    assert filter_pos > window_pos  # executedPlan prints top-down: the
+    # window sits above (earlier in the string than) the filter
