@@ -58,6 +58,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "dedup_substring_spans",
     "mixture_cap_per_source",
+    "stream_restart_replay",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

@@ -585,3 +585,114 @@ def kafka_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pipeline_ok"
         ),
     )
+
+
+# ------------------------------------- checkpoint recovery (A10 full)
+
+_RESTART_SAMPLE_MOD = 4  # replay every 4th event
+_RESTART_BATCHES = 8     # batches 0-3 before the restart, 4-7 after
+
+
+_RESTART_ORACLE = f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events WHERE event_id % {_RESTART_SAMPLE_MOD} = 0
+"""
+
+
+@query("stream_restart_replay", oracle=_RESTART_ORACLE)
+def stream_restart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A QUERY RESTART, driver-checked: the stream
+    runs 4 micro-batches to a real parquet file sink, the query STOPS
+    (availableNow drains and terminates), 4 more batches arrive — the
+    first of which REDELIVERS every batch-3 row — and a brand-new
+    query restarts from the same checkpoint. Three recovery
+    mechanisms have to work together for the result to match the
+    distinct batch oracle:
+
+    1. source recovery — the restarted file source must not re-read
+       batches 0-3 (re-reading would double their rows in the sink);
+    2. state recovery — the cross-restart redelivery collapses ONLY
+       if the dedup operator's state store rehydrates from the
+       checkpoint (fresh state would emit batch-3 rows twice);
+    3. sink recovery — the result is read back through the file
+       sink's ``_spark_metadata`` commit manifest, so an uncommitted
+       leftover file from a crashed attempt could never leak rows.
+
+    This is the full A10 offset-commit contract the reference
+    approximates with Kafka auto-commit + idempotent reprocessing
+    (src/prediction_producer.py consumer loop): there, a restart
+    re-processes from the last committed offset and re-publishes;
+    here, restart resumes exactly where the committed batch log ends.
+    The memory-sink replays above cannot test this — Spark refuses to
+    recover an append-mode memory sink from a checkpoint, which is
+    why this replay uses the production file sink.
+
+    Scale shape: identical to stream_dedup_replay (state keyed on
+    event_id, watermark-bounded); the restart machinery itself is
+    O(batch log), independent of data volume.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % _RESTART_SAMPLE_MOD == 0
+    )
+    sliced = _time_sliced(
+        ev.select("event_id", "user_id", "event_type", "value", "ts"),
+        _RESTART_BATCHES,
+    )
+    half = _RESTART_BATCHES // 2
+    phase1 = sliced.filter(F.col("batch") < half)
+    # cross-restart redelivery: every batch-3 row arrives AGAIN in
+    # batch 4, on the far side of the query restart
+    redelivered = sliced.filter(F.col("batch") == half - 1).withColumn(
+        "batch", F.lit(half)
+    )
+    phase2 = sliced.filter(F.col("batch") >= half).unionByName(redelivered)
+
+    work = tempfile.mkdtemp(prefix="stream_restart_replay_")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts TIMESTAMP"
+    )
+
+    def _run_to_file_sink() -> None:
+        deduped = (
+            file_stream(spark, in_dir, schema)
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        with _scoped_shuffle(spark, _RESTART_BATCHES):
+            write_microbatch_files_partitioned(phase1, "batch", half, in_dir)
+            _run_to_file_sink()  # batches 0-3, then the query STOPS
+            # batches 4-7 land while no query is running (the
+            # partitioned writer skips the absent 0-3 dirs and keeps
+            # mtimes increasing past phase 1's)
+            write_microbatch_files_partitioned(
+                phase2, "batch", _RESTART_BATCHES, in_dir
+            )
+            _run_to_file_sink()  # new query, same checkpoint: resumes
+        # manifest-aware batch read of the sink (only committed files),
+        # materialized so the temp dir can be deleted before return
+        emitted = (
+            spark.read.parquet(out_dir)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round("value", 6).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted
