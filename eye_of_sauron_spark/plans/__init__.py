@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     grouped,
     relational,
     scalar,
+    storage,
     textual,
     vector,
     window,

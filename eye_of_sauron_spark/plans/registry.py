@@ -59,6 +59,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_substring_spans",
     "mixture_cap_per_source",
     "stream_restart_replay",
+    "jsonl_roundtrip_ingest",
+    "csv_roundtrip_ingest",
+    "join_bucketed_colocated",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

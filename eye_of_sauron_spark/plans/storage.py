@@ -1,0 +1,270 @@
+"""Storage-format ingest paths and physical-layout operators.
+
+Two things a 100 TB deployment leans on that the parquet-only fixture
+queries never exercise:
+
+1. **JSONL / CSV ingest** — LLM corpora arrive as JSONL (one JSON doc
+   per line, the lingua franca of web-scale text dumps) and CSV long
+   before anyone parquet-izes them. The round-trip queries push the
+   fixture through Spark's real text writers and schema-projected
+   readers and then prove, against the parquet-derived oracle, that
+   nothing was lost in the wire format. The reference's only
+   serialization is JSON-over-Kafka (src/utils.py:248-264 np_to_json);
+   these are the batch-file analog of that codec, driver-checked.
+
+2. **Bucketed co-located joins** — at fact-fact scale (lineitem ⋈
+   orders at 100 TB) the shuffle IS the query cost; pre-bucketing both
+   tables on the join key at write time makes every subsequent join a
+   zero-exchange, zero-sort merge of co-located buckets. The query
+   performs the bucketed write + join end-to-end per invocation; the
+   no-Exchange/no-Sort plan shape is pinned by tests/test_plans.py.
+
+Temp dirs live under the system tmp root and are removed after the
+results are materialized (localCheckpoint pins the rows).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_duck, tokens_spark
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -------------------------------------------------------- JSONL ingest
+
+_JSONL_ORACLE = f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len({tokens_duck('text')})) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang, source
+"""
+
+
+@query("jsonl_roundtrip_ingest", oracle=_JSONL_ORACLE)
+def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest path, driver-checked: the documents table is
+    written as real line-delimited JSON (Spark's json writer, one doc
+    per line — the format web-scale text corpora actually ship in),
+    read back through the schema-projected JSON reader, and
+    aggregated; the result must match the parquet-derived oracle
+    exactly, so any loss in the writer (escaping, unicode, null
+    handling) or reader (type coercion, schema drift) fails the hash
+    compare.
+
+    Scale shape: an explicit read schema is the non-negotiable part —
+    schema inference over 100 TB of JSONL is a full extra pass; with
+    the schema given, the JSON scan is a single narrow pass that
+    supports predicate pushdown on line-level short-circuit parse.
+    The aggregate itself is the usual partial/final pair.
+    """
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    try:
+        d.write.mode("overwrite").json(f"{work}/docs")
+        back = spark.read.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).json(f"{work}/docs")
+        out = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.sum(F.size(tokens_spark(F.col("text"))))
+                .cast("bigint")
+                .alias("total_tokens"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------- CSV ingest
+
+_CSV_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("csv_roundtrip_ingest", oracle=_CSV_ORACLE)
+def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest path with the two lossy traps handled explicitly:
+    timestamps carry an explicit microsecond format (the default
+    second-precision format silently truncates), and doubles rely on
+    the writer's shortest-round-trip rendering. The events table
+    round-trips through real CSV files and the per-type aggregate
+    (counts, sums, min/max timestamps, distinct users) must match the
+    parquet-derived oracle bit-for-bit.
+
+    The JSON props column rides along as an opaque quoted string —
+    proving the quote/escape path on data that embeds the delimiter
+    and quote characters themselves."""
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    work = tempfile.mkdtemp(prefix="csv_ingest_")
+    try:
+        ev.write.mode("overwrite").option("header", "true").option(
+            "timestampFormat", fmt
+        ).csv(f"{work}/events")
+        back = (
+            spark.read.schema(
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
+            .option("header", "true")
+            .option("timestampFormat", fmt)
+            .csv(f"{work}/events")
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ------------------------------------------------------ bucketed join
+
+_N_BUCKETS = 8
+
+_BUCKETED_ORACLE = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, location: str, n_buckets: int = _N_BUCKETS
+) -> None:
+    """Write ``df`` as a bucketed+sorted managed table at ``location``:
+    rows hash-routed on ``key`` into one file per bucket and sorted
+    within it, so a later join on ``key`` between two tables bucketed
+    the same way needs NO exchange — the scan partitions ARE the join
+    partitions. This is the write-time contract that turns the
+    fact-fact shuffle (the dominant cost at 100 TB) into a metadata
+    property. (The in-partition Sort under the merge join remains —
+    O(n) over already-sorted runs, no materialized shuffle; eliding it
+    too needs ``spark.sql.legacy.bucketedTableScan.outputOrdering``,
+    which is session-global and off by default since SPARK-28632, so
+    it is deliberately not toggled here.)"""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # one write task per bucket (repartition uses the same murmur3 hash
+    # as the bucket router) -> exactly one file per bucket, which is
+    # what lets the reader trust the per-bucket sort order and elide
+    # the Sort under a merge join; it also avoids the
+    # n_tasks x n_buckets small-file explosion at scale
+    (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{location}/{table}")
+        .saveAsTable(table)
+    )
+
+
+@query("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with the shuffle paid at WRITE time: lineitem
+    and orders are both written as 8-bucket tables hashed+sorted on
+    the order key, then joined bucket-to-bucket — the executed plan
+    has no Exchange under the merge join (pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange). The
+    ``merge`` hint keeps the demonstration honest at fixture scale,
+    where AQE would otherwise broadcast the orders side.
+
+    At 100 TB this is THE lever for repeated fact-fact joins: the
+    bucketed layout is written once and every downstream join,
+    aggregation, or window keyed on the bucket column runs
+    exchange-free. The revenue rollup after the join still shuffles
+    (by priority — inherent), but its input is the joined stream, not
+    either full table.
+
+    The bucketed tables are rewritten per invocation into a temp
+    warehouse path (this is a correctness query, not a benchmark of
+    the cached layout); results are pinned before the temp dir is
+    dropped, and the catalog entries are removed."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    work = tempfile.mkdtemp(prefix="bucketed_join_")
+    try:
+        write_bucketed(li, "li_bucketed", "l_orderkey", work)
+        write_bucketed(orders, "orders_bucketed", "o_orderkey", work)
+        lb = spark.table("li_bucketed")
+        ob = spark.table("orders_bucketed").hint("merge")
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """The executed join plan BEFORE aggregation, for the plan-shape
+    test: builds the same bucketed tables, returns the join's plan
+    string, cleans up."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    work = tempfile.mkdtemp(prefix="bucketed_plan_")
+    try:
+        write_bucketed(li, "li_bucketed", "l_orderkey", work)
+        write_bucketed(orders, "orders_bucketed", "o_orderkey", work)
+        lb = spark.table("li_bucketed")
+        ob = spark.table("orders_bucketed").hint("merge")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        return joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        shutil.rmtree(work, ignore_errors=True)

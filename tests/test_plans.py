@@ -380,3 +380,26 @@ def test_mixture_prefilters_before_window(spark, sf_dir):
     window_pos = p.index("row_number")
     assert filter_pos > window_pos  # executedPlan prints top-down: the
     # window sits above (earlier in the string than) the filter
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # both sides bucketed+sorted on the join key, one file per bucket:
+    # the merge join must consume the bucketed scans directly — zero
+    # Exchange anywhere in the join subtree (the whole point of paying
+    # the shuffle at write time)
+    from eye_of_sauron_spark.plans.storage import bucketed_join_plan
+
+    p = bucketed_join_plan(spark, sf_dir)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+
+
+def test_registered_storage_queries_localcheckpoint(spark, sf_dir):
+    # round-trip queries delete their temp inputs before returning;
+    # the result must stay collectable afterwards (pinned rows)
+    from eye_of_sauron_spark import plans
+
+    for name in ("jsonl_roundtrip_ingest", "csv_roundtrip_ingest",
+                 "join_bucketed_colocated"):
+        df = plans.all_queries()[name](spark, sf_dir)
+        assert df.count() > 0  # collect AFTER the temp dirs are gone
