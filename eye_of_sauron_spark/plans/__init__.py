@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     grouped,
     relational,
     scalar,
+    skew,
     storage,
     textual,
     vector,

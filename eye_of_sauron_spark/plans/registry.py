@@ -62,6 +62,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "jsonl_roundtrip_ingest",
     "csv_roundtrip_ingest",
     "join_bucketed_colocated",
+    "join_salted_skew",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

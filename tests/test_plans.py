@@ -403,3 +403,19 @@ def test_registered_storage_queries_localcheckpoint(spark, sf_dir):
                  "join_bucketed_colocated"):
         df = plans.all_queries()[name](spark, sf_dir)
         assert df.count() > 0  # collect AFTER the temp dirs are gone
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    # the join must key on (user key, salt) — salt present in BOTH key
+    # lists — and be a shuffle join (salting a broadcast join is
+    # pointless); the dim replication must be in-plan (explode), not a
+    # union of scans
+    p = _plan(spark, sf_dir, "join_salted_skew")
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    join_line = next(
+        ln for ln in p.splitlines()
+        if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+    )
+    assert join_line.count("_salt") == 2, join_line
+    assert "Generate explode" in p
