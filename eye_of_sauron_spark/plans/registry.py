@@ -63,6 +63,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "csv_roundtrip_ingest",
     "join_bucketed_colocated",
     "join_salted_skew",
+    "stream_left_join_replay",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",

@@ -49,3 +49,38 @@ def clicks_to_errors_stream_join(
         F.col("c_ts").alias("click_ts"),
         F.col("e_ts").alias("error_ts"),
     )
+
+
+def clicks_to_errors_left_join(
+    clicks: DataFrame, errors: DataFrame, delay: str = "59 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantically hardest
+    streaming operator: matched pairs emit as they form, but a click
+    with NO error can only emit its NULL-extended row once the
+    watermark proves no future error could still match it (i.e.
+    watermark >= click.ts + join window). Until then the row sits in
+    state; a query that stops earlier simply never emits it. Both
+    behaviors are pinned by the stream_left_join_replay oracle, which
+    models the emission rule in closed form."""
+    c = clicks.withWatermark("ts", delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    e = errors.withWatermark("ts", delay).select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (c.c_user == e.e_user)
+        & (e.e_ts >= c.c_ts)
+        & (e.e_ts < c.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return c.join(e, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        F.col("c_ts").alias("click_ts"),
+        F.col("e_ts").alias("error_ts"),
+    )

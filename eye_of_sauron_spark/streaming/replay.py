@@ -696,3 +696,96 @@ def stream_restart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return emitted
+
+
+# --------------------------------------- left-outer stream-stream join
+
+_LEFT_JOIN_DELAY = "59 minutes"
+
+# The oracle models Spark's outer-join emission rule in closed form:
+# matched pairs are the plain interval join; a NULL-extended row
+# emits iff the click found no error AND the FINAL watermark — the
+# availableNow run's last value, min(max click ts, max error ts) -
+# delay, advanced by the closing no-data micro-batch — passed the
+# click's last possible match time (click.ts + 1 h). Clicks younger
+# than that stay in state and correctly never emit.
+_LEFT_JOIN_ORACLE = f"""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+        SELECT user_id AS e_user, event_id AS error_id, ts AS e_ts
+        FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+        SELECT c.user_id, c.click_id, e.error_id, c.c_ts, e.e_ts
+        FROM c JOIN e
+          ON c.user_id = e.e_user
+         AND e.e_ts >= c.c_ts AND e.e_ts < c.c_ts + INTERVAL 1 HOUR
+    ),
+    wm AS (
+        SELECT least((SELECT max(c_ts) FROM c), (SELECT max(e_ts) FROM e))
+               - INTERVAL 59 MINUTE AS w
+    )
+    SELECT user_id, click_id, error_id,
+           c_ts AS click_ts, e_ts AS error_ts
+    FROM m
+    UNION ALL
+    SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS error_id,
+           c.c_ts AS click_ts, CAST(NULL AS TIMESTAMP) AS error_ts
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      AND c.c_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+"""
+
+
+@query("stream_left_join_replay", oracle=_LEFT_JOIN_ORACLE)
+def stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join, driver-checked: the
+    hardest-to-reason-about streaming semantics — NULL rows may only
+    emit when the watermark proves no future match can arrive — run
+    through the real symmetric hash join over 4+4 ordered file
+    micro-batches and compared against a closed-form oracle of the
+    emission rule (matched pairs ∪ expired unmatched clicks; clicks
+    still inside the final watermark window correctly NEVER emit).
+
+    Ordered arrival makes the matched half lossless for any delay (a
+    relevant error always arrives before the watermark could evict
+    its click); the NULL half is what the watermark gates, and any
+    drift in Spark's eviction boundary, a missing closing no-data
+    micro-batch, or a state row lost across batches changes the
+    emitted set and fails the hash compare. Scale shape: identical to
+    the inner join — one shuffle per side on user_id, state bounded
+    by watermark, NULL emission adds no state of its own."""
+    from .joins import clicks_to_errors_left_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    work = tempfile.mkdtemp(prefix="ss_left_join_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(clicks, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/clicks"
+    )
+    write_microbatch_files_partitioned(
+        _time_sliced(errors, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/errors"
+    )
+    schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    cs = file_stream(spark, f"{work}/clicks", schema)
+    es = file_stream(spark, f"{work}/errors", schema)
+    try:
+        with _scoped_shuffle(spark, _SS_BATCHES):
+            emitted = run_to_memory(
+                clicks_to_errors_left_join(cs, es, delay=_LEFT_JOIN_DELAY),
+                f"ss_left_join_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select(
+        "user_id", "click_id", "error_id", "click_ts", "error_ts"
+    )
