@@ -290,4 +290,8 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible: rows-only check here; semantics are
     pytest-verified in tests/test_ml.py."""
     frames = frames_from_events(load_table(spark, sf_dir, "events"))
-    return face_pipeline(frames, first_faces_targets(frames))
+    # pin the 4-row target set: deriving it lazily re-runs the full
+    # detect pass over every frame once per action (the "upload" is a
+    # one-time event in the reference too — web/views.py:144-169)
+    targets = first_faces_targets(frames).localCheckpoint(eager=True)
+    return face_pipeline(frames, targets)

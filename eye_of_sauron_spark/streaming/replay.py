@@ -568,7 +568,10 @@ def kafka_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pframes = pframes.repartition(
         spark.sparkContext.defaultParallelism, "camera", "frame_num"
     )
-    pipe = face_pipeline(pframes, first_faces_targets(pframes))
+    # pin the tiny target set so the full detect pass behind it runs
+    # once per invocation, not once per action
+    targets = first_faces_targets(pframes).localCheckpoint(eager=True)
+    pipe = face_pipeline(pframes, targets)
     return decoded.join(pipe, ["camera", "frame_num"]).select(
         "record_key",
         "topic",
