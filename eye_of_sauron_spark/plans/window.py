@@ -290,3 +290,105 @@ def window_first_match_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("first_price"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+                   AS seen_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND seen_view = 1
+                    THEN 1 ELSE 0 END AS click_ok,
+               max(CASE WHEN event_type = 'click' AND seen_view = 1
+                        THEN 1 ELSE 0 END) OVER w AS seen_click
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    reach AS (
+        SELECT user_id,
+               max(seen_view) AS r1,
+               max(click_ok) AS r2,
+               max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                        THEN 1 ELSE 0 END) AS r3
+        FROM c GROUP BY user_id
+    ),
+    tot AS (
+        SELECT sum(r1) AS nv, sum(r2) AS nc, sum(r3) AS np, count(*) AS n
+        FROM reach
+    )
+    SELECT '1_view' AS stage, CAST(nv AS BIGINT) AS n_users,
+           round(nv * 1.0 / nullif(n, 0), 6) AS conv FROM tot
+    UNION ALL
+    SELECT '2_click', CAST(nc AS BIGINT),
+           round(nc * 1.0 / nullif(nv, 0), 6) FROM tot
+    UNION ALL
+    SELECT '3_purchase', CAST(np AS BIGINT),
+           round(np * 1.0 / nullif(nc, 0), 6) FROM tot
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user
+    "converts" at stage k only via an ORDERED subsequence
+    view -> click -> purchase (a click before any view does not count,
+    nor a purchase before such a click) — the sequence-dependency
+    shape a bare conditional aggregation cannot express.
+
+    Plan: three chained cumulative-max windows over the SAME
+    (partitionBy user_id, orderBy ts, event_id) spec — Catalyst plans
+    one Exchange + one in-partition sort for all of them, so the whole
+    funnel costs a single shuffle of (user_id, ts, type) at any scale;
+    the per-user reach table then collapses by partial agg and the
+    3-row stage output is driver-sized arithmetic. The reference
+    analog is the first-match state machine of the matcher
+    (src/prediction_producer.py:321-323) generalized to a multi-stage
+    ordered-reachability check."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_type = lambda t: (F.col("event_type") == t).cast("int")  # noqa: E731
+    v = ev.withColumn("seen_view", F.max(is_type("view")).over(w))
+    c = v.withColumn(
+        "click_ok", (is_type("click") * F.col("seen_view")).cast("int")
+    ).withColumn("seen_click", F.max("click_ok").over(w))
+    reach = c.groupBy("user_id").agg(
+        F.max("seen_view").alias("r1"),
+        F.max("click_ok").alias("r2"),
+        F.max(is_type("purchase") * F.col("seen_click")).alias("r3"),
+    )
+    tot = reach.agg(
+        F.sum("r1").alias("nv"),
+        F.sum("r2").alias("nc"),
+        F.sum("r3").alias("np"),
+        F.count("*").alias("n"),
+    )
+
+    def stage(name, num, den):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            F.col(num).cast("bigint").alias("n_users"),
+            F.round(
+                F.col(num) * 1.0 / F.when(F.col(den) > 0, F.col(den)), 6
+            ).alias("conv"),
+        )
+
+    return tot.select(
+        F.explode(
+            F.array(
+                stage("1_view", "nv", "n"),
+                stage("2_click", "nc", "nv"),
+                stage("3_purchase", "np", "nc"),
+            )
+        ).alias("s")
+    ).select("s.*")
