@@ -364,3 +364,108 @@ def mixture_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
     )
+
+
+# -------------------------------------------------------- quality gates
+
+# Composite C4/Gopher-style keep/drop pipeline. Gate order IS the
+# contract: first_fail reports the FIRST violated gate in this fixed
+# order, so downstream attrition dashboards are stable across runs.
+# Thresholds are CORPUS PARAMETERS (like the ngram df-cap): these are
+# tuned to the synthetic fixture's distributions (token counts 10-99,
+# rep ratio <= 0.72, mean word length 3.7-5.3) so every gate
+# demonstrably discriminates; production corpora retune them.
+_QF_MIN_TOKENS = 16
+_QF_MAX_TOKENS = 100_000
+_QF_MAX_REP = 0.65         # duplicate-token fraction (Gopher)
+_QF_WORDLEN_LO = 2.0       # mean token length bounds (C4-ish)
+_QF_WORDLEN_HI = 5.0
+_QF_MIN_STOPWORDS = 1      # must contain >= 1 stopword token
+_QF_STOPWORDS = ("the", "a")
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               len({tokens_duck('text')}) AS n_tok,
+               len(list_distinct({tokens_duck('text')})) AS n_distinct,
+               n_chars,
+               list_sum(list_transform({tokens_duck('text')},
+                   t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END))
+                   AS n_stop
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, source, n_tok,
+               CASE
+                   WHEN n_tok < {_QF_MIN_TOKENS}
+                        OR n_tok > {_QF_MAX_TOKENS} THEN 'length'
+                   WHEN 1.0 - n_distinct * 1.0 / n_tok > {_QF_MAX_REP}
+                        THEN 'repetition'
+                   WHEN (n_chars - n_tok + 1) * 1.0 / n_tok < {_QF_WORDLEN_LO}
+                        OR (n_chars - n_tok + 1) * 1.0 / n_tok > {_QF_WORDLEN_HI}
+                        THEN 'word_length'
+                   WHEN n_stop < {_QF_MIN_STOPWORDS} THEN 'stopword'
+                   ELSE 'pass'
+               END AS first_fail
+        FROM m
+    )
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, first_fail,
+           first_fail = 'pass' AS keep
+    FROM gated
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate — the C4/Gopher cleaning recipe
+    as ONE narrow pass: token-count bounds, duplicate-token fraction,
+    mean word length, and stopword presence, evaluated in a fixed
+    order with the first violated gate reported per document
+    (first_fail = 'pass' for keepers).
+
+    Mean word length is derived arithmetically from existing columns
+    ((n_chars - (n_tok-1) separators) / n_tok) rather than a second
+    tokenization. Every gate is a JVM-side expression over one
+    tokenize; nothing shuffles — at 100 TB this fuses into the scan
+    stage of whatever consumes the survivors, and the per-gate
+    attrition report is a free groupBy(first_fail) away. The gate
+    ORDER is part of the operator contract so attrition counts are
+    comparable across runs."""
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens_spark(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(ts).alias("n_tok"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(ts, lambda t: t.isin(*_QF_STOPWORDS).cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n_stop"),
+    )
+    wordlen = (F.col("n_chars") - F.col("n_tok") + 1) * 1.0 / F.col("n_tok")
+    first_fail = (
+        F.when(
+            (F.col("n_tok") < _QF_MIN_TOKENS) | (F.col("n_tok") > _QF_MAX_TOKENS),
+            "length",
+        )
+        .when(
+            1.0 - F.col("n_distinct") * F.lit(1.0) / F.col("n_tok") > _QF_MAX_REP,
+            "repetition",
+        )
+        .when(
+            (wordlen < _QF_WORDLEN_LO) | (wordlen > _QF_WORDLEN_HI), "word_length"
+        )
+        .when(F.col("n_stop") < _QF_MIN_STOPWORDS, "stopword")
+        .otherwise("pass")
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        first_fail.alias("first_fail"),
+        (first_fail == "pass").alias("keep"),
+    )
