@@ -981,3 +981,176 @@ def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("node")).alias("is_keeper"),
     )
+
+
+# ------------------------------------------------- incremental (batch-vs-corpus)
+
+# Deterministic ingest split: ~80% of documents play the role of the
+# already-indexed corpus, the rest arrive as the "new shard". Hash
+# routing (not doc_id ranges) so the straddle pattern is unbiased.
+_INC_KEY_DUCK = "'inc:' || CAST(doc_id AS VARCHAR)"
+_INC_CORPUS_BUCKETS = 8  # corpus: bucket 0-7 of 10; batch: 8-9
+_INC_RECRAWL_MOD = 13    # every 13th corpus doc re-arrives in the shard
+_INC_RECRAWL_OFFSET = 1_000_000  # ...under a fresh doc_id (a re-crawl)
+
+_INC_ORACLE = f"""
+    WITH b AS (
+        SELECT *, {hex32_duck(_INC_KEY_DUCK)} % 10 AS bkt FROM documents
+    ),
+    corpus AS (SELECT * FROM b WHERE bkt < {_INC_CORPUS_BUCKETS}),
+    batch AS (
+        SELECT doc_id, text, lang FROM b WHERE bkt >= {_INC_CORPUS_BUCKETS}
+        UNION ALL
+        SELECT doc_id + {_INC_RECRAWL_OFFSET}, text, lang
+        FROM corpus WHERE doc_id % {_INC_RECRAWL_MOD} = 0
+    ),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    shc AS (
+        SELECT doc_id, unnest({shingles_duck('text')}) AS shingle FROM corpus
+    ),
+    shb AS (
+        SELECT doc_id, unnest({shingles_duck('text')}) AS shingle FROM batch
+    ),
+    minc AS (
+        SELECT doc_id, s.s AS seed,
+               min(({_A_LIST}[s.s + 1] * {hex32_duck('shingle')}
+                    + {_B_LIST}[s.s + 1]) % 2147483647) AS mh
+        FROM shc, unnest(range(0, {_MINHASH_K})) AS s(s)
+        GROUP BY doc_id, s.s
+    ),
+    minb AS (
+        SELECT doc_id, s.s AS seed,
+               min(({_A_LIST}[s.s + 1] * {hex32_duck('shingle')}
+                    + {_B_LIST}[s.s + 1]) % 2147483647) AS mh
+        FROM shb, unnest(range(0, {_MINHASH_K})) AS s(s)
+        GROUP BY doc_id, s.s
+    ),
+    bandc AS (
+        SELECT doc_id,
+               CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT) AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        FROM minc GROUP BY doc_id, band
+    ),
+    bandb AS (
+        SELECT doc_id,
+               CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT) AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        FROM minb GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS db, cc.doc_id AS dc
+        FROM bandb bb JOIN bandc cc ON bb.band = cc.band AND bb.sig = cc.sig
+    ),
+    szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+    inter AS (
+        SELECT c.db, c.dc, count(*) AS i
+        FROM cand c
+        JOIN shb x ON x.doc_id = c.db
+        JOIN shc y ON y.doc_id = c.dc AND y.shingle = x.shingle
+        GROUP BY c.db, c.dc
+    ),
+    near AS (
+        SELECT DISTINCT i.db AS doc_id
+        FROM inter i
+        JOIN szb sb ON sb.doc_id = i.db
+        JOIN szc sc ON sc.doc_id = i.dc
+        WHERE i.i * 1.0 / (sb.n + sc.n - i.i) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, lang,
+           CASE WHEN md5(text) IN (SELECT h FROM ch) THEN 'exact'
+                WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near'
+                ELSE 'keep' END AS verdict
+    FROM batch
+"""
+
+
+@query("dedup_incremental_corpus", oracle=_INC_ORACLE)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a production pipeline actually
+    runs daily: a new shard (hash buckets 8-9 of the ingest split)
+    checked against the standing corpus (buckets 0-7), never corpus
+    against itself. The shard also carries a simulated RE-CRAWL —
+    every 13th corpus document re-arrives under a fresh doc_id — so
+    both dup classes genuinely fire. Verdict per new document, with
+    precedence: 'exact' (content hash already indexed) > 'near'
+    (shares a MinHash band bucket with a corpus doc AND verified
+    Jaccard >= 0.8) > 'keep'.
+
+    Scale shape — why incremental beats re-running full dedup: the
+    corpus side of BOTH probes is exactly the (hash) / (band, sig)
+    index a production deployment keeps materialized in parquet, so
+    the recurring cost is O(shard) signature computation + an
+    equi-join probe into the index, NOT O(corpus + shard)^2 or even
+    O(corpus) rescan — only candidate corpus doc_ids (few) are
+    re-read for shingle verification. Exact probe is a broadcast-able
+    semi-join on md5; near probe keys on (band, sig); nothing is ever
+    all-pairs. The asymmetry also kills the self-join's da < db
+    dedup-direction concern: pairs are (batch x corpus) by
+    construction."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"), "doc_id"
+    )
+    bkt = (
+        hex32_spark(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    )
+    tagged = docs.withColumn("bkt", bkt)
+    corpus = tagged.filter(F.col("bkt") < _INC_CORPUS_BUCKETS)
+    batch = tagged.filter(F.col("bkt") >= _INC_CORPUS_BUCKETS).select(
+        "doc_id", "text", "lang"
+    ).unionAll(
+        corpus.filter(F.col("doc_id") % _INC_RECRAWL_MOD == 0).select(
+            (F.col("doc_id") + _INC_RECRAWL_OFFSET).alias("doc_id"),
+            "text",
+            "lang",
+        )
+    )
+
+    # exact probe: distinct corpus hashes, flagged via left join
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(ch.withColumn("is_exact", F.lit(True)), "h", "left")
+        .select("doc_id", F.coalesce("is_exact", F.lit(False)).alias("is_exact"))
+    )
+
+    # near probe: banded MinHash signatures on both sides, candidates
+    # via (band, sig) equi-join, shingle-array verification on the
+    # candidate pairs only
+    def sigs(side: DataFrame, alias: str) -> DataFrame:
+        base = side.select(
+            "doc_id", shingles_spark(F.col("text")).alias("sh")
+        ).filter(F.size("sh") > 0)
+        hashed = base.select("doc_id", F.transform("sh", hex32_spark).alias("hs"))
+        return base, hashed.select(
+            F.col("doc_id").alias(alias),
+            F.posexplode(_band_sigs(F.col("hs"))).alias("band", "sig"),
+        )
+
+    cbase, cbands = sigs(corpus, "dc")
+    bbase, bbands = sigs(batch, "db")
+    cand = bbands.join(cbands, ["band", "sig"]).select("db", "dc").distinct()
+    pairs = cand.join(
+        bbase.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db"
+    ).join(cbase.select(F.col("doc_id").alias("dc"), F.col("sh").alias("shc")), "dc")
+    i = F.size(F.array_intersect("shb", "shc"))
+    jac = i * F.lit(1.0) / (F.size("shb") + F.size("shc") - i)
+    near = (
+        pairs.select("db", jac.alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_THRESHOLD)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    verdict = (
+        F.when(F.col("is_exact"), "exact")
+        .when(F.coalesce(F.col("is_near"), F.lit(False)), "near")
+        .otherwise("keep")
+    )
+    return (
+        batch.select("doc_id", "lang")
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .select("doc_id", "lang", verdict.alias("verdict"))
+    )
