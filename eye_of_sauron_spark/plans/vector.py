@@ -438,3 +438,86 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the accuracy/cost dial of every ANN path a measured,
     hash-checked number."""
     return _recall_of(spark, sf_dir, similarity_topk_ivf)
+
+
+# --------------------------------------------------------- quantization
+
+_Q_LEVELS = 127  # symmetric int8: q in [-127, 127], 0 maps to 0 exactly
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / {_Q_LEVELS} AS scale,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, scale, embedding,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+        FROM scaled
+    )
+    SELECT vec_id, label, round(scale, 6) AS scale,
+           round(list_sum(list_transform(list_zip(embedding, qv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
+               / {_DIM}, 9) AS mse,
+           CAST(list_sum(list_transform(qv,
+               v -> CASE WHEN abs(v) = {_Q_LEVELS} THEN 1 ELSE 0 END))
+               AS BIGINT) AS n_extreme
+    FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/IO
+    compression step of a vector store at 100 TB: scale = max|x|/127,
+    q_i = round-half-up(x_i/scale), reported as per-vector scale,
+    reconstruction MSE, and the count of components hitting the
+    extreme level (by construction >= 1: the max-magnitude component
+    maps exactly to +/-127, so n_extreme doubles as a sanity invariant).
+
+    Everything is per-row higher-order folds over the embedding array
+    — zero shuffle, fuses into the scan; the fold order is fixed
+    left-to-right in both engines so the MSE is bitwise reproducible
+    (same discipline as functions/vector.py). round-half-up is spelled
+    floor(x + 0.5) explicitly because the engines' native round()
+    disagree on ties (banker's vs away-from-zero)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / _Q_LEVELS
+    )
+    scaled = emb.select("vec_id", "label", "embedding", scale.alias("scale"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5)
+    )
+    q = scaled.withColumn("qv", qv)
+    err2 = F.zip_with(
+        "embedding",
+        "qv",
+        lambda x, v: (x.cast("double") - v.cast("double") * F.col("scale"))
+        * (x.cast("double") - v.cast("double") * F.col("scale")),
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, v: a + v) / _DIM
+    n_extreme = F.aggregate(
+        F.transform("qv", lambda v: (F.abs(v) == _Q_LEVELS).cast("int")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    # mse/n_extreme are materialized BEFORE the select that re-aliases
+    # the rounded scale as "scale": a same-select alias shadows the
+    # input column, so an unresolved F.col("scale") inside the fold
+    # lambdas would silently bind to the ROUNDED sibling (caught by
+    # the oracle check as a 9th-digit mse drift).
+    q = q.withColumn("mse_raw", mse).withColumn("n_extreme", n_extreme)
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.round("mse_raw", 9).alias("mse"),
+        "n_extreme",
+    )
