@@ -268,3 +268,85 @@ def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------------------- z-order
+
+_Z_BITS = 8          # bits per dimension -> 16-bit z-value
+_Z_BUCKET_SHIFT = 8  # file/bucket granularity: 256 z-buckets
+
+
+def _z_spark(ub, tb):
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftright(ub, i).bitwiseAND(1) * (1 << (2 * i))
+            + F.shiftright(tb, i).bitwiseAND(1) * (1 << (2 * i + 1))
+        )
+    return z
+
+
+def _z_duck(ub: str, tb: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({ub} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({tb} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_cluster_events",
+    oracle=f"""
+    WITH dims AS (
+        SELECT CAST(user_id % 256 AS BIGINT) AS ub,
+               CAST((date_part('day', ts) - 1) * 8
+                    + date_part('hour', ts) // 3 AS BIGINT) AS tb
+        FROM events
+    ),
+    z AS (
+        SELECT ub, tb, {_z_duck('ub', 'tb')} >> {_Z_BUCKET_SHIFT} AS zbucket
+        FROM dims
+    )
+    SELECT zbucket,
+           count(*) AS n_events,
+           CAST(count(DISTINCT ub) AS BIGINT) AS n_users,
+           CAST(max(ub) - min(ub) AS BIGINT) AS u_span,
+           CAST(max(tb) - min(tb) AS BIGINT) AS t_span
+    FROM z
+    GROUP BY zbucket
+    """,
+)
+def zorder_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering census over events on the
+    (user_id, time) predicate pair: interleave 8 bits of user bucket
+    with 8 bits of 3-hour time bucket, group rows by z-value prefix
+    (>> 8 = the would-be file), and report each bucket's min/max SPAN
+    on both dimensions.
+
+    Why this is the layout you want at 100 TB: parquet prunes
+    row-groups by min/max stats, and a time-linear sort gives perfect
+    time spans but unbounded user spans (every file contains every
+    user — user-predicate scans read everything). Z-prefix buckets
+    bound BOTH spans at ~2^4 of each dimension's range, so point/range
+    predicates on EITHER column skip ~15/16 of files. The spans this
+    query emits are that guarantee, measured — the deploy-time recipe
+    is repartitionByRange(zvalue) + sortWithinPartitions(zvalue) +
+    write, and the z-value itself is pure bit arithmetic inside
+    codegen (no UDF), so the clustering pass is scan-speed."""
+    ev = _t(spark, sf_dir, "events")
+    dims = ev.select(
+        (F.col("user_id") % 256).cast("bigint").alias("ub"),
+        ((F.dayofmonth("ts") - 1) * 8 + F.floor(F.hour("ts") / 3))
+        .cast("bigint")
+        .alias("tb"),
+    )
+    z = dims.select(
+        "ub", "tb", F.shiftright(_z_spark(F.col("ub"), F.col("tb")), _Z_BUCKET_SHIFT).alias("zbucket")
+    )
+    return z.groupBy("zbucket").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("ub").cast("bigint").alias("n_users"),
+        (F.max("ub") - F.min("ub")).cast("bigint").alias("u_span"),
+        (F.max("tb") - F.min("tb")).cast("bigint").alias("t_span"),
+    )
