@@ -50,6 +50,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ml_face_pipeline",
     "ml_match_first_target",
     # modified or first registered this round (r06) — need evidence
+    "funnel_view_click_purchase",
+    "quality_filter_pipeline",
+    "dedup_incremental_corpus",
+    "embedding_int8_quantize",
+    "zorder_cluster_events",
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",
