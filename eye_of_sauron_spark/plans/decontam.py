@@ -37,6 +37,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to defaultParallelism before CPU-heavy narrow work
+    (8-token shingling + per-shingle md5): the local fixture scans as
+    ONE parquet split, which would serialize span extraction on a
+    single core, and AQE's byte-based coalescer would undo an
+    uncounted repartition (tiny bytes, huge per-row CPU). Same
+    rationale as plans/dedup.py::_spread; at 100 TB the scan has
+    thousands of natural splits and this exchange is noise."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 # ------------------------------------------------------ decontamination
 
 # Deterministic eval-set membership: ~2% of documents, routed by
@@ -94,7 +106,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count's partial aggregation all fuse into the scan stage,
     and the only exchange is on doc_id for the final count merge.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     spans = d.select(
         "doc_id",
         "lang",
@@ -102,9 +114,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_spark(F.col("text"), _SPAN_N).alias("sp"),
         _is_eval_spark().alias("is_eval"),
     )
+    # explode_OUTER + post-filter, not plain explode: Catalyst's
+    # InferFiltersFromGenerate would add `size(sp)>0 AND isnotnull(sp)`
+    # below a non-outer explode and push it through the repartition
+    # exchange into the scan — re-evaluating the full shingling
+    # expression on the single input split (measured: 3.4x this
+    # query's cost serialized on one core). The outer generate is
+    # exempt from that rule; the explicit isnotnull(span) filter
+    # references the GENERATED column, which cannot be pushed below
+    # the Generate, so shingling stays above the exchange, parallel.
     eval_spans = (
         spans.filter("is_eval")
-        .select(F.explode("sp").alias("span"))
+        .select(F.explode_outer("sp").alias("span"))
+        .filter(F.col("span").isNotNull())
         .distinct()
     )
     corpus = spans.filter(~F.col("is_eval")).select(
@@ -112,8 +134,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.size("sp").alias("n_spans"),
-        F.explode("sp").alias("span"),
-    )
+        F.explode_outer("sp").alias("span"),
+    ).filter(F.col("span").isNotNull())
     return (
         corpus.join(F.broadcast(eval_spans), "span")
         .groupBy("doc_id", "lang", "source", "n_spans")
@@ -164,12 +186,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted — per-span cost is O(df), not O(df^2) — so stop-spans are
     merely hot keys, handled by AQE skew splitting, not a blowup.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # explode_outer + isnotnull: see decontaminate_ngram_overlap — keeps
+    # the inferred size/notnull constraint (and with it the whole
+    # shingle expression) from being pushed below the spread exchange
     sp = d.select(
         "doc_id",
         "lang",
-        F.explode(shingles_spark(F.col("text"), _SPAN_N)).alias("span"),
-    )
+        F.explode_outer(shingles_spark(F.col("text"), _SPAN_N)).alias("span"),
+    ).filter(F.col("span").isNotNull())
     df_win = F.count("*").over(W.partitionBy("lang", "span"))
     dup = sp.withColumn("df", df_win).filter(F.col("df") >= 2)
     return dup.groupBy("lang").agg(

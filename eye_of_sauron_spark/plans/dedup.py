@@ -264,14 +264,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame_producer.py:110-119), exact-dup dropping at the source.
     """
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    base = docs.select(
+    # the non-empty-shingles gate is stated on the TOKEN count (tokens
+    # >= shingle width <=> shingles non-empty): pushdown clones scan-
+    # side filters below the spread exchange, and this form costs one
+    # split() there instead of the full shingling expression a
+    # size(sh)>0 filter would inline (see plans/decontam.py)
+    base = docs.filter(F.size(tokens_spark(F.col("text"))) >= 3).select(
         "doc_id", shingles_spark(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     hashed = base.select(
         "doc_id", F.transform("sh", hex32_spark).alias("hs")
     )
+    # posexplode_OUTER: exempt from InferFiltersFromGenerate, whose
+    # size/notnull constraint would re-evaluate all 8 band signatures
+    # below the exchange (the band array is never empty — 8 literals)
     bands = hashed.select(
-        "doc_id", F.posexplode(_band_sigs(F.col("hs"))).alias("band", "sig")
+        "doc_id", F.posexplode_outer(_band_sigs(F.col("hs"))).alias("band", "sig")
     )
     a = bands.select(
         F.col("doc_id").alias("da"), F.col("band").alias("b1"), F.col("sig").alias("s1")
@@ -364,9 +372,16 @@ def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = _NGRAM_DF_CAP) -> DataFra
     # postings structs and the query needs ZERO joins (a sizes join
     # here invites the planner to mis-broadcast the giant pair
     # aggregate on bad post-explode estimates — observed at 10x).
+    # explode_OUTER + isnotnull, not plain explode: the non-outer
+    # Generate's inferred `size(sh)>0` constraint would be pushed below
+    # the spread exchange with the WHOLE shingling expression inlined,
+    # serializing it on the scan's single input split (see
+    # plans/decontam.py; measured 2.5x there).
     sh = base.select(
-        "doc_id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("shingle")
-    )
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n"),
+        F.explode_outer("sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     # inverted index WITHOUT a self-join: group the postings per
     # shingle, drop df=1 shingles (they generate no pairs — usually
     # the vast majority) and df>cap stop-shingles (no near-dup signal,
@@ -1118,13 +1133,16 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via (band, sig) equi-join, shingle-array verification on the
     # candidate pairs only
     def sigs(side: DataFrame, alias: str) -> DataFrame:
-        base = side.select(
+        # token-count gate + posexplode_outer for the same pushdown
+        # reasons as dedup_minhash_lsh (keep shingling above the
+        # exchange, off the scan's single split)
+        base = side.filter(F.size(tokens_spark(F.col("text"))) >= 3).select(
             "doc_id", shingles_spark(F.col("text")).alias("sh")
-        ).filter(F.size("sh") > 0)
+        )
         hashed = base.select("doc_id", F.transform("sh", hex32_spark).alias("hs"))
         return base, hashed.select(
             F.col("doc_id").alias(alias),
-            F.posexplode(_band_sigs(F.col("hs"))).alias("band", "sig"),
+            F.posexplode_outer(_band_sigs(F.col("hs"))).alias("band", "sig"),
         )
 
     cbase, cbands = sigs(corpus, "dc")

@@ -221,9 +221,22 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     across a hyperplane miss them — which is the standard
     accuracy/cost dial; the candidate join is an equi shuffle join on
     sig, scaling as O(corpus/2^planes) pairs per query."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # the signature is a JOIN KEY below, and Catalyst infers an
+    # isnotnull(sig) filter on both join sides — with sig's WHOLE
+    # 64-plane fold inlined — and pushes it beneath the spread
+    # exchange onto the scan's single split (and evaluates it a second
+    # time in the projection). coalesce against a non-nullable
+    # sentinel makes the column non-nullable, so the inferred
+    # constraint constant-folds away; the sentinel is unreachable
+    # because null embeddings are filtered at the scan (a cheap,
+    # parquet-pushable predicate).
     sigs = _spread(emb, "vec_id").select(
-        "vec_id", "embedding", _sig_spark(F.col("embedding")).alias("sig")
+        "vec_id",
+        "embedding",
+        F.coalesce(
+            _sig_spark(F.col("embedding")), F.lit(-1).cast("bigint")
+        ).alias("sig"),
     )
     q = sigs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig"

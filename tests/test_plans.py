@@ -419,3 +419,34 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     )
     assert join_line.count("_salt") == 2, join_line
     assert "Generate explode" in p
+
+
+# Queries whose hot expressions (shingling folds, hyperplane
+# signatures) sit above a spread exchange. Catalyst's
+# InferFiltersFromGenerate (non-outer explode) and join-key
+# isnotnull inference would clone those expressions into a Filter and
+# push them below the exchange onto the scan's single input split —
+# serializing the most expensive work on one core and evaluating it
+# twice (measured 2-4x per query before the explode_outer /
+# non-nullable-key fixes). Pin the absence of heavy expressions in
+# ANY Filter node for the whole family.
+_HEAVY_FILTER_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_corpus",
+    "decontaminate_ngram_overlap",
+    "dedup_substring_spans",
+    "similarity_topk_lsh",
+    "similarity_lsh_recall",
+)
+
+
+@pytest.mark.parametrize("name", _HEAVY_FILTER_QUERIES)
+def test_no_heavy_exprs_in_filters(spark, sf_dir, name):
+    p = _plan(spark, sf_dir, name)
+    for m in re.finditer(r"Filter (.*)", p):
+        line = m.group(1)
+        assert "transform(" not in line and "aggregate(" not in line, (
+            f"{name}: heavy expression cloned into a Filter "
+            f"(pushdown below the spread exchange): {line[:200]}"
+        )
