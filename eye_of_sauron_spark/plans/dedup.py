@@ -1135,9 +1135,16 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sigs(side: DataFrame, alias: str) -> DataFrame:
         # token-count gate + posexplode_outer for the same pushdown
         # reasons as dedup_minhash_lsh (keep shingling above the
-        # exchange, off the scan's single split)
-        base = side.filter(F.size(tokens_spark(F.col("text"))) >= 3).select(
-            "doc_id", shingles_spark(F.col("text")).alias("sh")
+        # exchange, off the scan's single split); the repartition on
+        # doc_id makes the shingle relation's subplan byte-identical
+        # under BOTH consumers (the banding branch and the
+        # verification branch), so the physical planner emits a
+        # ReusedExchange and each side's shingling runs ONCE, not once
+        # per branch — the same trick as dedup_minhash_lsh's verify
+        base = (
+            side.filter(F.size(tokens_spark(F.col("text"))) >= 3)
+            .select("doc_id", shingles_spark(F.col("text")).alias("sh"))
+            .repartition(side.sparkSession.sparkContext.defaultParallelism, "doc_id")
         )
         hashed = base.select("doc_id", F.transform("sh", hex32_spark).alias("hs"))
         return base, hashed.select(
