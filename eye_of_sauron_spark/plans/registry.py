@@ -55,6 +55,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_incremental_corpus",
     "embedding_int8_quantize",
     "zorder_cluster_events",
+    "similarity_topk_sq8_rerank",
+    "similarity_sq8_recall",
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",

@@ -534,3 +534,149 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mse_raw", 9).alias("mse"),
         "n_extreme",
     )
+
+
+# ------------------------------------------------ SQ8 + exact re-rank
+
+_SQ8_RERANK_M = 8  # approx-stage candidates kept per query
+_SQ8_TOPK = 3      # final exact-ranked neighbors emitted
+
+# int8 code arrays (same symmetric scheme as embedding_int8_quantize)
+_SQ8_QV_DUCK = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / "
+    f"(list_max(list_transform(embedding, m -> abs(CAST(m AS DOUBLE)))) / {_Q_LEVELS})"
+    " + 0.5))"
+)
+
+_SQ8_ORACLE = f"""
+    WITH codes AS (
+        SELECT vec_id, embedding, {_SQ8_QV_DUCK} AS qv FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe, qv AS qqv FROM codes
+        WHERE {_QUERY_FILTER}
+    ),
+    approx AS (
+        SELECT q.qid, c.vec_id AS cid, c.embedding AS ce, q.qe,
+               list_sum(list_transform(list_zip(q.qqv, c.qv),
+                   p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.qqv, v -> v * v)))
+                  * sqrt(list_sum(list_transform(c.qv, v -> v * v))))
+                   AS acos
+        FROM q, codes c
+        WHERE c.vec_id != q.qid
+    ),
+    shortlist AS (
+        SELECT qid, cid, ce, qe, acos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY acos DESC, cid ASC
+               ) AS arn
+        FROM approx
+    ),
+    exact AS (
+        SELECT qid, cid, round(acos, 6) AS approx_cosine,
+               {cosine_duck('qe', 'ce')} AS cos
+        FROM shortlist WHERE arn <= {_SQ8_RERANK_M}
+    ),
+    ranked AS (
+        SELECT qid, cid, approx_cosine, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid ASC
+               ) AS rn
+        FROM exact
+    )
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank, cid AS cand_id,
+           round(cos, 6) AS cosine, approx_cosine
+    FROM ranked WHERE rn <= {_SQ8_TOPK}
+    """
+
+
+@query("similarity_topk_sq8_rerank", oracle=_SQ8_ORACLE)
+def similarity_topk_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over a scalar-quantized index — the
+    production vector-search shape at 100 TB: stage 1 scans int8 CODES
+    (4x less IO/memory than fp32, integer dot products; the
+    per-vector scales CANCEL in cosine, so the approx score is pure
+    integer arithmetic over the codes and bitwise identical across
+    engines), keeps the top-8 shortlist per query; stage 2 re-ranks
+    ONLY the shortlist with exact fp32 cosine and emits the top-3.
+
+    Plan shape: quantization is a narrow map fused into the corpus
+    scan; stage 1 is broadcast-queries x corpus codes scan (the full-
+    precision column is carried but never folded until the shortlist);
+    stage 2's exact fold runs on O(queries x 8) rows — the expensive
+    arithmetic moves from |corpus| to |shortlist|. Approximation
+    quality is visible in-row: approx_cosine sits beside the exact
+    cosine in the output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / _Q_LEVELS
+    )
+    codes = _spread(emb, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / scale + 0.5).cast("bigint"),
+        ).alias("qv"),
+    )
+    q = codes.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("qv").alias("qqv"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qqv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+    def inorm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda v: v * v),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        )
+
+    acos = idot.cast("double") / (inorm("qqv") * inorm("qv"))
+    wa = W.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("cid").asc())
+    shortlist = (
+        codes.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "qv"
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qe", "ce", acos.alias("acos"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= _SQ8_RERANK_M)
+    )
+    cos = cosine_spark(F.col("qe"), F.col("ce"))
+    exact = shortlist.select(
+        "qid", "cid", F.round("acos", 6).alias("approx_cosine"), cos.alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SQ8_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid").alias("cand_id"),
+            F.round("cos", 6).alias("cosine"),
+            "approx_cosine",
+        )
+    )
+
+
+@query("similarity_sq8_recall", oracle=_recall_oracle(_SQ8_ORACLE))
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the SQ8 + re-rank path vs the exact top-3. The only
+    loss mechanism is a true neighbor ranked below the approx top-8 by
+    quantization error; with 64 dims and int8 codes that is rare, so
+    this should sit at/near 1.0 — a sustained drop means the scale or
+    code arithmetic regressed on one engine (and a one-sided drift
+    fails the hash compare before it fails the recall)."""
+    return _recall_of(spark, sf_dir, similarity_topk_sq8_rerank)
