@@ -57,6 +57,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "zorder_cluster_events",
     "similarity_topk_sq8_rerank",
     "similarity_sq8_recall",
+    "window_time_range_rolling",
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",

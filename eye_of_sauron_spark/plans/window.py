@@ -392,3 +392,53 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+_ROLL_WINDOW_US = 3600 * 1_000_000  # 1-hour range frame, microseconds
+
+
+@query(
+    "window_time_range_rolling",
+    oracle=f"""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_last_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN {_ROLL_WINDOW_US} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling aggregate — a RANGE frame over event-time
+    microseconds (count + value sum of each user's events in the
+    trailing hour), the primitive behind rate limiting, rolling spend
+    caps, and the reference's would-be rolling latency stats (A8,
+    src/prediction_producer.py:355-361). Distinct from every
+    rowsBetween query here: the frame width varies per row with event
+    DENSITY, not row count, and ties on the order value are frame
+    PEERS (both engines include all of them).
+
+    The rolled sum is integer cents (floor(value*100 + 0.5) —
+    explicit half-up, engine-agnostic) rather than a double: sliding-
+    window sums are implemented as segment trees in some engines and
+    sequential accumulation in others, so float results differ in the
+    last bits; integer arithmetic is associative and hash-stable.
+    One shuffle on user_id; in-partition sort by time; Spark evaluates
+    the range frame with two moving pointers over the sorted run —
+    O(n) per partition, no per-row rescan."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_ROLL_WINDOW_US, W.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
+    )
