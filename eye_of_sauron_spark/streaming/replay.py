@@ -792,3 +792,74 @@ def stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select(
         "user_id", "click_id", "error_id", "click_ts", "error_ts"
     )
+
+
+# ------------------------------------- watermarked window aggregation
+
+_WAGG_BATCHES = 8
+_WAGG_DELAY = "2 hours"
+
+# The append-mode emission rule in closed form: a (day, event_type)
+# window emits iff the FINAL watermark — max event time across the
+# whole replay minus the delay — has passed its end. Ordered
+# time-sliced arrival means no row is ever late, so the emitted
+# windows carry exact full counts; the last day(s) of the fixture
+# stay in state and must NOT appear (asserting their absence is the
+# point: it proves the real watermark gate ran, not a batch agg).
+_WAGG_ORACLE = """
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
+    )
+    SELECT date_trunc('day', ts) AS ws, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    GROUP BY ws, event_type
+    HAVING ws + INTERVAL 1 DAY <= (SELECT w FROM wm)
+"""
+
+
+@query("stream_window_replay", oracle=_WAGG_ORACLE)
+def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, driver-checked through
+    the REAL stateful machinery: events replay as 8 event-time-ordered
+    file micro-batches into ``window('1 day') x event_type`` counts
+    under a 2-hour watermark, append mode — a window row may only be
+    emitted once the watermark passes its end, so the final day(s)
+    remain un-emitted in state. The oracle states that emission rule
+    in closed form (HAVING window_end <= max_ts - delay) over the
+    batch table; a regression in watermark advancement, state
+    finalization, or the no-data flush batch shows up as missing or
+    extra window rows, not a silent pass (the batch-only pytest
+    equality in tests/test_streaming.py cannot see those).
+
+    The summed measure is integer cents (explicit half-up) so the
+    incremental partial aggregation order cannot perturb a float
+    hash. Scale shape: identical to any production streaming rollup —
+    state is one row per open (window, type), eviction is by
+    watermark, shuffle is one exchange on the group keys."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="wagg_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _WAGG_BATCHES), "batch", _WAGG_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark, f"{work}/in", "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    agg = (
+        stream.withWatermark("ts", _WAGG_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(cents).cast("bigint").alias("cents"))
+    )
+    try:
+        with _scoped_shuffle(spark, _WAGG_BATCHES):
+            emitted = run_to_memory(
+                agg, f"wagg_replay_{uuid.uuid4().hex[:8]}", f"{work}/ckpt"
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select(
+        F.col("w.start").alias("ws"), "event_type", "n_events", "cents"
+    )
