@@ -59,6 +59,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "similarity_sq8_recall",
     "window_time_range_rolling",
     "stream_window_replay",
+    "stream_update_mode_replay",
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",

@@ -863,3 +863,66 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select(
         F.col("w.start").alias("ws"), "event_type", "n_events", "cents"
     )
+
+
+# ------------------------------------------- update-mode aggregation
+
+_UPD_BATCHES = 8
+
+# _time_sliced's octile arithmetic restated in SQL: both engines
+# assign every event the identical micro-batch, so the oracle can
+# predict exactly how many update rows each key emitted (one per
+# batch that contained at least one row of the key — update mode
+# emits changed keys only).
+_UPD_BATCH_DUCK = f"""
+    least(floor(((epoch_us(ts) - (SELECT epoch_us(min(ts)) FROM events)) * 1.0
+        / ((SELECT epoch_us(max(ts)) FROM events)
+           - (SELECT epoch_us(min(ts)) FROM events) + 1)) * {_UPD_BATCHES}),
+        {_UPD_BATCHES - 1})
+"""
+
+_UPD_ORACLE = f"""
+    SELECT event_type,
+           count(*) AS n_final,
+           CAST(count(DISTINCT {_UPD_BATCH_DUCK}) AS BIGINT) AS n_updates
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("stream_update_mode_replay", oracle=_UPD_ORACLE)
+def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, driver-checked: an unwatermarked running
+    count per event_type replays over 8 ordered micro-batches; the
+    memory sink accumulates the UPDATE LOG (one row per key per batch
+    in which the key's count changed). Two facts are checked at once,
+    per key: the final running count (max over the log — counts are
+    monotone) must equal the batch count, and the NUMBER of log rows
+    must equal the number of micro-batches containing that key — the
+    oracle recomputes the replay's own octile slicing in SQL to
+    predict it. An engine that re-emits unchanged keys, skips a
+    batch's emission, or mis-merges state across batches breaks one
+    of the two columns. Complements the append-mode window replay
+    (stream_window_replay): append checks WHEN rows may finally be
+    emitted, update checks WHAT is emitted every intermediate batch."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    work = tempfile.mkdtemp(prefix="upd_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _UPD_BATCHES), "batch", _UPD_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(spark, f"{work}/in", "ts TIMESTAMP, event_type STRING")
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    try:
+        with _scoped_shuffle(spark, _UPD_BATCHES):
+            log = run_to_memory(
+                agg,
+                f"upd_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+                output_mode="update",
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return log.groupBy("event_type").agg(
+        F.max("n").alias("n_final"),
+        F.count("*").cast("bigint").alias("n_updates"),
+    )
