@@ -60,6 +60,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "window_time_range_rolling",
     "stream_window_replay",
     "stream_update_mode_replay",
+    "compact_small_files",
+    "schema_evolution_ingest",
     "tfidf_top_terms",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",

@@ -25,6 +25,7 @@ results are materialized (localCheckpoint pins the rows).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -350,3 +351,143 @@ def zorder_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ub") - F.min("ub")).cast("bigint").alias("u_span"),
         (F.max("tb") - F.min("tb")).cast("bigint").alias("t_span"),
     )
+
+
+# ------------------------------------------------------- compaction
+
+_COMPACT_SMALL_FILES = 64  # simulated small-file ingest
+_COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "compact_small_files",
+    oracle=f"""
+    SELECT {_COMPACT_SMALL_FILES} AS n_files_before,
+           {_COMPACT_TARGET_FILES} AS n_files_after,
+           count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance pass every long-lived 100 TB table
+    needs: streaming ingest / per-batch commits leave thousands of
+    KB-size files, each costing a task + an open + a footer read per
+    query, and this operator rewrites them into few right-sized ones.
+    Here the pathology is created for real — documents written as 64
+    tiny parquet files — then compacted with a repartition write to 4;
+    the result row proves the rewrite was LOSSLESS (row count, content
+    sum, id range recomputed from the compacted files) and reports the
+    before/after file counts the maintenance job would log.
+
+    At scale the target count comes from measured bytes
+    (ceil(input_bytes / target_file_size)) rather than a constant, and
+    the rewrite runs per partition-directory so it parallelizes and
+    commits independently; the plan shape — scan, one round-robin
+    exchange, write — is the same."""
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="compact_")
+    try:
+        d.repartition(_COMPACT_SMALL_FILES).write.mode("overwrite").parquet(
+            f"{work}/small"
+        )
+        small = spark.read.parquet(f"{work}/small")
+        n_before = len(
+            [f for f in os.listdir(f"{work}/small") if f.endswith(".parquet")]
+        )
+        small.repartition(_COMPACT_TARGET_FILES).write.mode("overwrite").parquet(
+            f"{work}/compact"
+        )
+        n_after = len(
+            [f for f in os.listdir(f"{work}/compact") if f.endswith(".parquet")]
+        )
+        out = (
+            spark.read.parquet(f"{work}/compact")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.lit(n_before).alias("n_files_before"),
+                F.lit(n_after).alias("n_files_after"),
+                "n_rows",
+                "total_chars",
+                "min_doc",
+                "max_doc",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# -------------------------------------------------- schema evolution
+
+_EVO_SPLIT_MOD = 3  # doc_id % 3 == 0 rows arrive in the NEW schema
+
+
+@query(
+    "schema_evolution_ingest",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % {_EVO_SPLIT_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_schema,
+           CAST(sum(CASE WHEN doc_id % {_EVO_SPLIT_MOD} = 0
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS quality_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across ingest generations — the unavoidable state
+    of a years-old 100 TB corpus: old files lack a column newer files
+    carry. Written for real here as two parquet generations (the old
+    one WITHOUT the ``quality_chars`` column, the new one with it),
+    read back as one relation via ``mergeSchema``; rows from old files
+    surface the missing column as NULL, and the aggregate must account
+    for exactly the new-generation rows. The oracle reconstructs the
+    same numbers from the unsplit table.
+
+    mergeSchema is the read-time half of evolution; the scale note is
+    that it reconciles footers from EVERY file (expensive on millions
+    of files), so production tables pin the merged schema in a
+    catalog/manifest instead — the read semantics (NULL-fill, by-name
+    resolution) are identical, which is what this checks."""
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        old = d.filter(F.col("doc_id") % _EVO_SPLIT_MOD != 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        new = d.filter(F.col("doc_id") % _EVO_SPLIT_MOD == 0).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("n_chars").alias("quality_chars"),
+        )
+        old.write.mode("overwrite").parquet(f"{work}/t/gen=0")
+        new.write.mode("overwrite").parquet(f"{work}/t/gen=1")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{work}/t/gen=0", f"{work}/t/gen=1"
+        )
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("quality_chars").isNotNull().cast("int"))
+                .cast("bigint")
+                .alias("n_new_schema"),
+                F.coalesce(F.sum("quality_chars"), F.lit(0))
+                .cast("bigint")
+                .alias("quality_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
