@@ -46,6 +46,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
+    # plan-shape changes this session (explode_outer / non-nullable
+    # join key) — need post-change driver rows
+    "dedup_ngram_jaccard",
+    "similarity_topk_lsh",
     # model-UDF pipelines, last checked r04
     "ml_face_pipeline",
     "ml_match_first_target",
