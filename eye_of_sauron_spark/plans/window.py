@@ -352,6 +352,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/prediction_producer.py:321-323) generalized to a multi-stage
     ordered-reachability check."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return funnel_counts(ev)
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """Core of funnel_view_click_purchase over any (user_id, ts,
+    event_id, event_type) relation — separate so property tests can
+    drive it with arbitrary generated histories
+    (tests/test_properties.py)."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -200,3 +200,59 @@ def test_connected_components_matches_union_find(spark_global, edges):
         for r in connected_components(sym).select("node", "comp").collect()
     }
     assert got == want
+
+
+@given(
+    histories=st.lists(  # one entry per user: a sequence of event types
+        st.lists(st.sampled_from(["view", "click", "purchase", "other"]),
+                 min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_funnel_matches_ordered_reachability_simulation(spark_global, histories):
+    """The chained-cumulative-window funnel must agree with a direct
+    per-user state-machine simulation of ordered view -> click ->
+    purchase reachability for arbitrary event sequences — including
+    orderings the fixture never produces (purchase-before-view,
+    users with no events, repeated stages)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from eye_of_sauron_spark.plans.window import funnel_counts
+
+    # reference: explicit state machine per user, in sequence order
+    nv = nc = np_ = 0
+    for seq in histories:
+        seen_view = seen_click = seen_purch = False
+        for t in seq:
+            if t == "view":
+                seen_view = True
+            elif t == "click" and seen_view:
+                seen_click = True
+            elif t == "purchase" and seen_click:
+                seen_purch = True
+        nv += seen_view
+        nc += seen_click
+        np_ += seen_purch
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            user_id=u,
+            ts=base + datetime.timedelta(seconds=i),
+            event_id=u * 1000 + i,
+            event_type=t,
+        )
+        for u, seq in enumerate(histories)
+        for i, t in enumerate(seq)
+    ]
+    if not rows:
+        return  # funnel over an empty relation: nothing to check
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(spark_global.createDataFrame(rows)).collect()
+    }
+    assert got == {"1_view": nv, "2_click": nc, "3_purchase": np_}
