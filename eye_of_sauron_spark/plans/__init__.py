@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     storage,
     textual,
     vector,
+    warehouse,
     window,
 )
 from .. import ml  # noqa: F401  (registers ml_* queries)

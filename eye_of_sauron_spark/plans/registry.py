@@ -40,6 +40,11 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
+    # registered this session, never driver-checked — need first rows
+    "cdc_latest_snapshot",
+    "scd2_merge_customers",
+    "text_bigram_lm",
+    "stream_session_replay",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

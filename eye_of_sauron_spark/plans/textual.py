@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens_duck, tokens_spark
 from ..sources import load_table
@@ -415,4 +416,91 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("c.chunk", F.size("c.chunk")).alias("last_token"),
             F.array_join("c.chunk", " ").alias("chunk_text"),
         )
+    )
+
+
+# ------------------------------------------------ bigram LM statistics
+
+_BIGRAM_TOPK = 5
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, {tokens_duck('text')} AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT lang, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    counts AS (
+        SELECT lang, w1, w2,
+               count(*) AS n_pair,
+               CAST(sum(count(*)) OVER (PARTITION BY lang, w1) AS BIGINT)
+                   AS n_first
+        FROM pairs GROUP BY lang, w1, w2
+    ),
+    ranked AS (
+        SELECT *, (n_pair * 1000000) // n_first AS cond_ppm,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_pair DESC, w1, w2
+               ) AS rank
+        FROM counts
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, w1, w2,
+           n_pair, n_first, cond_ppm
+    FROM ranked WHERE rank <= {_BIGRAM_TOPK}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics per language: pair counts,
+    first-token marginals, and integer-ppm conditional probabilities
+    P(w2|w1), reported as the top-5 bigrams per lang — the n-gram LM
+    every data pipeline fits for perplexity-style quality filters and
+    contamination forensics.
+
+    Bigrams are built JVM-side by zipping the token array against
+    itself shifted by one (``zip_with(slice, slice)``) — a narrow
+    per-document expression, no self-join on token position. One
+    explode + one (lang, w1, w2) hash aggregate with map-side combine
+    is the only O(tokens) shuffle; downstream, Catalyst plans a
+    SINGLE exchange on ``lang`` alone for the already-aggregated
+    distinct-bigram relation — hashpartitioning(lang) satisfies the
+    clustering of BOTH window passes (the (lang, w1) marginal SUM and
+    the per-lang top-k row_number) by the partitioning-subset rule,
+    so the marginal and the rank share one shuffle (verified in the
+    formatted plan: exactly 2 exchanges). The conditional probability
+    is pure integer arithmetic (``* 1000000 div``), so both engines
+    compute bit-identical ppm with no float division in the hash."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    pairs = d.select("lang", F.explode(bigrams).alias("p")).select(
+        "lang", "p.w1", "p.w2"
+    )
+    counts = pairs.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n_pair"))
+    counts = counts.withColumn(
+        "n_first", F.sum("n_pair").over(W.partitionBy("lang", "w1"))
+    )
+    ranked = counts.withColumn(
+        "cond_ppm", F.expr("(n_pair * 1000000) div n_first")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.col("n_pair").desc(), F.col("w1"), F.col("w2")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _BIGRAM_TOPK).select(
+        "lang", "rank", "w1", "w2", "n_pair", "n_first", "cond_ppm"
     )

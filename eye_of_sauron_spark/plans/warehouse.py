@@ -1,0 +1,240 @@
+"""Warehouse-maintenance operators: CDC log compaction and SCD
+type-2 dimension merge.
+
+The reference's state model is "latest message per key wins" — the
+web viewer renders whatever frame most recently arrived per camera
+topic (web/views.py:200-236), and Kafka's own log compaction is the
+durable form of that contract. Here that becomes a first-class
+batch operator pair:
+
+- ``cdc_latest_snapshot`` — collapse a keyed change log to the
+  current snapshot (last-writer-wins with delete tombstones), the
+  read-side of log compaction.
+- ``scd2_merge_customers`` — apply a change batch to a dimension
+  with full history retention (slowly-changing-dimension type 2),
+  the write-side MERGE every warehouse needs around such logs.
+
+Scale notes: the CDC compaction is a single partial-aggregating
+``max_by`` hash aggregate — the map side collapses each partition to
+one candidate row per key before the only shuffle, so a 100 TB log
+with a hot key still moves O(partitions) rows for it, where the
+textbook row_number()-over-window form would sort-shuffle the full
+log. The SCD2 merge is ONE join (dim x change batch) left unhinted
+so AQE broadcasts the change side iff it measures small, and the
+1-or-2-version expansion is a narrow array+explode — the classic
+3-branch UNION form scans the dimension three times; this scans it
+once.
+
+All money flows are integer cents (floor(x*100+0.5)) so partial-agg
+order can't perturb a value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex32_duck, hex32_spark
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
+_CENTS_DUCK = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+# ------------------------------------------------- CDC log compaction
+
+# events as a keyed change log: key = user_id, ops ordered by
+# (ts, event_id); event_type 'error' is the delete tombstone, any
+# other type upserts the key's value.
+_TOMBSTONE = "error"
+
+
+@query(
+    "cdc_latest_snapshot",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               count(*) OVER (PARTITION BY user_id) AS n_ops,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           {_CENTS_DUCK.format(x='value')} AS last_cents,
+           ts AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{_TOMBSTONE}'
+    """,
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse a keyed change log to its current snapshot:
+    last-writer-wins per user_id on (ts, event_id) order, keys whose
+    final op is a tombstone ('error') disappear. The read-side of
+    Kafka log compaction — the durable form of the reference's
+    latest-frame-per-camera display contract (web/views.py:200-236).
+
+    Deliberately NOT the textbook row_number-over-window plan the
+    oracle uses: ``max_by(struct(...), struct(ts, event_id))`` is a
+    partial-aggregating combine-first plan — each input partition
+    collapses to one candidate per key before the single shuffle, so
+    at 100 TB a hot key costs O(partitions) shuffled rows where the
+    window form sort-shuffles its entire history. (Spark plans the
+    struct-valued max_by as SortAggregate; its sorts are
+    per-partition on the group key and spillable — still no global
+    sort, and the partial side still combines map-side, which is
+    what the plan test pins.)"""
+    ev = _t(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+        ).alias("last"),
+        F.count("*").alias("n_ops"),
+    )
+    return (
+        last.filter(F.col("last.event_type") != _TOMBSTONE)
+        .select(
+            "user_id",
+            _cents(F.col("last.value")).alias("last_cents"),
+            F.col("last.ts").alias("last_ts"),
+            "n_ops",
+        )
+    )
+
+
+# ---------------------------------------------- SCD type-2 dimension
+
+# Change batch derived deterministically from orders: every customer
+# with an order in the trailing 90 days gets a new balance (their
+# recent order total, in cents); a md5-routed ~10% of those rows are
+# re-keyed to +10M as brand-new keys, so the merge's WHEN-NOT-MATCHED
+# insert arm genuinely fires.
+_SCD2_WINDOW_DAYS = 90
+_INSERT_OFFSET = 10_000_000
+
+_INS_EXPR_DUCK = "'ins:' || CAST(o_custkey AS VARCHAR)"
+_INS_KEY_DUCK = f"{hex32_duck(_INS_EXPR_DUCK)} % 10 = 0"
+
+
+@query(
+    "scd2_merge_customers",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT max(o_orderdate) - INTERVAL {_SCD2_WINDOW_DAYS} DAY AS c FROM orders
+    ),
+    chg AS (
+        SELECT CASE WHEN {_INS_KEY_DUCK}
+                    THEN o_custkey + {_INSERT_OFFSET} ELSE o_custkey END AS key,
+               CAST(sum({_CENTS_DUCK.format(x='o_totalprice')}) AS BIGINT)
+                   AS new_cents
+        FROM orders
+        WHERE o_orderdate >= (SELECT c FROM cutoff)
+        GROUP BY key
+    ),
+    merged AS (
+        SELECT coalesce(d.c_custkey, c.key) AS key,
+               d.c_custkey IS NOT NULL AS in_dim,
+               c.key IS NOT NULL AS in_chg,
+               {_CENTS_DUCK.format(x='d.c_acctbal')} AS old_cents,
+               d.c_mktsegment AS seg,
+               c.new_cents
+        FROM customer d FULL OUTER JOIN chg c ON d.c_custkey = c.key
+    )
+    SELECT key AS c_custkey, 1 AS version, old_cents AS bal_cents,
+           seg AS segment, NOT in_chg AS is_current
+    FROM merged WHERE in_dim
+    UNION ALL
+    SELECT key, 2, new_cents, seg, TRUE FROM merged WHERE in_dim AND in_chg
+    UNION ALL
+    SELECT key, 1, new_cents, 'NEW', TRUE FROM merged WHERE NOT in_dim
+    """,
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE: apply a change batch to
+    the customer dimension keeping full history — matched keys close
+    their old version (is_current=false) and append version 2 with
+    the new balance; unmatched change rows insert as version 1 of a
+    new key; untouched dimension rows carry through current.
+
+    One FULL OUTER join on the dimension key (unhinted — AQE
+    broadcasts the change batch iff it measures small, exactly the
+    tfidf-vocabulary lesson), then a narrow
+    ``explode(CASE -> array<struct>)`` emits 1 or 2 version rows per
+    key. The classic 3-branch UNION MERGE scans the dimension three
+    times and shuffles each branch; this scans and shuffles once —
+    the shape that matters when the dimension is 10 TB.
+
+    The change batch itself derives from orders (trailing-90-day
+    customers; an md5-routed ~10% re-keyed to +10M so the insert arm
+    fires) — cutoff comes from a 1-row broadcast aggregate, never a
+    driver-side collect."""
+    dim = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr(f"INTERVAL {_SCD2_WINDOW_DAYS} DAYS")).alias("c")
+    )
+    is_ins = (
+        hex32_spark(F.concat(F.lit("ins:"), F.col("o_custkey").cast("string"))) % 10
+        == 0
+    )
+    chg = (
+        orders.join(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("c"))
+        .groupBy(
+            F.when(is_ins, F.col("o_custkey") + _INSERT_OFFSET)
+            .otherwise(F.col("o_custkey"))
+            .alias("key")
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("new_cents"))
+    )
+    merged = dim.join(chg, dim["c_custkey"] == chg["key"], "full_outer").select(
+        F.coalesce(dim["c_custkey"], chg["key"]).alias("key"),
+        dim["c_custkey"].isNotNull().alias("in_dim"),
+        chg["key"].isNotNull().alias("in_chg"),
+        _cents(F.col("c_acctbal")).alias("old_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        "new_cents",
+    )
+    v1 = lambda bal, seg, cur: F.struct(  # noqa: E731
+        F.lit(1).alias("version"),
+        bal.alias("bal_cents"),
+        seg.alias("segment"),
+        cur.alias("is_current"),
+    )
+    v2 = F.struct(
+        F.lit(2).alias("version"),
+        F.col("new_cents").alias("bal_cents"),
+        F.col("seg").alias("segment"),
+        F.lit(True).alias("is_current"),
+    )
+    versions = (
+        F.when(
+            F.col("in_dim") & F.col("in_chg"),
+            F.array(v1(F.col("old_cents"), F.col("seg"), F.lit(False)), v2),
+        )
+        .when(
+            F.col("in_dim"),
+            F.array(v1(F.col("old_cents"), F.col("seg"), F.lit(True))),
+        )
+        .otherwise(
+            F.array(v1(F.col("new_cents"), F.lit("NEW"), F.lit(True)))
+        )
+    )
+    return merged.select(
+        F.col("key").alias("c_custkey"), F.explode(versions).alias("v")
+    ).select(
+        "c_custkey",
+        F.col("v.version").alias("version"),
+        F.col("v.bal_cents").alias("bal_cents"),
+        F.col("v.segment").alias("segment"),
+        F.col("v.is_current").alias("is_current"),
+    )

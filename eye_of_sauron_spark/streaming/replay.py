@@ -926,3 +926,106 @@ def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_final"),
         F.count("*").cast("bigint").alias("n_updates"),
     )
+
+
+# --------------------------------------- session-window aggregation
+
+_SESS_BATCHES = 8
+_SESS_GAP_MIN = 10
+_SESS_DELAY = "2 hours"
+
+# Append-mode emission for MERGING state: a session emits iff the
+# final watermark passed its end (last event ts + gap). The oracle
+# rebuilds identical sessions with the gaps-and-islands construction
+# and states the gate in closed form; sessions touching the last two
+# hours of the fixture must stay in state and NOT appear.
+_SESS_ORACLE = f"""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER win IS NULL
+                         OR ts - lag(ts) OVER win
+                            >= INTERVAL {_SESS_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, cents
+    FROM sessions WHERE session_end <= (SELECT w FROM wm)
+"""
+
+
+@query("stream_session_replay", oracle=_SESS_ORACLE)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation driver-checked through
+    the real stateful machinery — the only stateful operator whose
+    state MERGES (two open sessions fuse when a bridging event
+    arrives), which tumbling/update replays cannot exercise. Events
+    replay as 8 event-time-ordered micro-batches into per-user
+    10-minute-gap session windows under a 2-hour watermark, append
+    mode: a session may only emit once the watermark passes its end
+    (last event + gap), so sessions touching the fixture's final two
+    hours provably stay in state. The oracle derives the identical
+    session set with the batch gaps-and-islands construction and
+    states the emission gate in closed form — a drift in session
+    merge, gap arithmetic (end is exclusive: last_ts + gap), watermark
+    advancement, or the closing no-data flush changes the emitted set
+    and fails the hash compare.
+
+    Scale shape: one shuffle on user_id; state is one row per OPEN
+    session per user (merged eagerly, evicted at watermark), so state
+    size tracks concurrent activity, not stream length. The summed
+    measure is integer cents so incremental merge order can't perturb
+    a float hash."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="sess_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _SESS_BATCHES), "batch", _SESS_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark, f"{work}/in", "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    agg = (
+        stream.withWatermark("ts", _SESS_DELAY)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESS_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+    )
+    try:
+        with _scoped_shuffle(spark, _SESS_BATCHES):
+            emitted = run_to_memory(
+                agg, f"sess_replay_{uuid.uuid4().hex[:8]}", f"{work}/ckpt"
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "cents",
+    )

@@ -450,3 +450,39 @@ def test_no_heavy_exprs_in_filters(spark, sf_dir, name):
             f"{name}: heavy expression cloned into a Filter "
             f"(pushdown below the spread exchange): {line[:200]}"
         )
+
+
+def test_cdc_snapshot_is_partial_agg_not_window(spark, sf_dir):
+    # last-writer-wins must plan as a combine-first hash aggregate
+    # (O(partitions) shuffled rows per hot key), never the textbook
+    # row_number window (full-history sort-shuffle)
+    # (struct-valued max_by plans as SortAggregate — the sorts are
+    # per-partition on the group key, spillable, not a global sort)
+    p = _plan(spark, sf_dir, "cdc_latest_snapshot")
+    assert "Window" not in p
+    assert "partial_max_by" in p  # map-side combine before the shuffle
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_merge_single_dim_join(spark, sf_dir):
+    # ONE join touches the dimension (the full outer merge); the
+    # 1-or-2-version expansion is a narrow explode, and the cutoff is
+    # a broadcast single-row aggregate — never a repeated dim scan
+    p = _plan(spark, sf_dir, "scd2_merge_customers")
+    assert "CartesianProduct" not in p
+    # the DIMENSION is scanned exactly once (the 3-branch UNION MERGE
+    # scans it three times); orders twice — main branch + the 1-row
+    # cutoff aggregate, which is column-pruned to o_orderdate alone
+    assert p.count("customer.parquet") == 1
+    assert p.count("FileScan parquet") == 3
+    assert "ReadSchema: struct<o_orderdate:timestamp>" in p
+    assert "FullOuter" in p
+    assert "Generate explode" in p
+
+
+def test_bigram_lm_two_exchanges(spark, sf_dir):
+    # one O(tokens) combine-first shuffle for the pair counts, then a
+    # single exchange on lang shared by BOTH window passes (marginal
+    # sum + top-k rank) via the partitioning-subset rule
+    p = _plan(spark, sf_dir, "text_bigram_lm")
+    assert p.count("Exchange hashpartitioning") == 2

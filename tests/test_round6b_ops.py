@@ -1,0 +1,93 @@
+"""Invariant tests for the round-6 continuation operators (CDC
+compaction, SCD2 merge, bigram LM, session-window replay) — each pins
+the semantic claim the operator's docstring makes, independent of the
+DuckDB oracle comparison in tests/test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from eye_of_sauron_spark import plans
+from eye_of_sauron_spark.plans.warehouse import _INSERT_OFFSET, _TOMBSTONE
+from eye_of_sauron_spark.sources import load_table
+
+QUERIES = plans.all_queries()
+
+
+def test_cdc_snapshot_is_last_writer_wins(spark, sf_dir):
+    snap = {
+        r.user_id: r for r in QUERIES["cdc_latest_snapshot"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    last = {}
+    for r in ev:
+        last[r.user_id] = r
+    # present iff the key's final op is not the tombstone; value/ts match it
+    for uid, r in last.items():
+        if r.event_type == _TOMBSTONE:
+            assert uid not in snap
+        else:
+            assert snap[uid].last_ts == r.ts
+    assert set(snap) == {u for u, r in last.items() if r.event_type != _TOMBSTONE}
+
+
+def test_scd2_merge_version_chains(spark, sf_dir):
+    rows = QUERIES["scd2_merge_customers"](spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    dim_keys = {
+        r.c_custkey for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    assert set(by_key) >= dim_keys  # every dimension row survives the merge
+    inserts = {k for k in by_key if k >= _INSERT_OFFSET}
+    assert inserts  # the WHEN-NOT-MATCHED arm fired
+    for key, vs in by_key.items():
+        current = [v for v in vs if v.is_current]
+        assert len(current) == 1  # exactly one open version per key
+        versions = sorted(v.version for v in vs)
+        assert versions in ([1], [1, 2])
+        if versions == [1, 2]:  # changed key: v1 closed, v2 open
+            assert not next(v for v in vs if v.version == 1).is_current
+            assert next(v for v in vs if v.version == 2).is_current
+        if key in inserts:
+            assert versions == [1] and vs[0].segment == "NEW"
+
+
+def test_bigram_lm_conditionals_are_consistent(spark, sf_dir):
+    rows = QUERIES["text_bigram_lm"](spark, sf_dir).collect()
+    assert rows
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+        assert 1 <= r.rank <= 5
+        assert 1 <= r.n_pair <= r.n_first
+        assert 0 < r.cond_ppm <= 1_000_000
+        assert r.cond_ppm == r.n_pair * 1_000_000 // r.n_first
+    for vs in per_lang.values():
+        vs.sort(key=lambda r: r.rank)
+        pair_counts = [r.n_pair for r in vs]
+        assert pair_counts == sorted(pair_counts, reverse=True)
+
+
+def test_session_replay_emits_only_watermark_closed_sessions(spark, sf_dir):
+    rows = QUERIES["stream_session_replay"](spark, sf_dir).collect()
+    assert rows
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=2)
+    gap = datetime.timedelta(minutes=10)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_end <= wm  # the append-mode gate
+        assert r.session_end >= r.session_start + gap  # end is last_ts + gap
+        by_user.setdefault(r.user_id, []).append(r)
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r.session_start)
+        for a, b in zip(vs, vs[1:]):
+            # sessions are maximal: consecutive sessions never touch
+            assert b.session_start > a.session_end
