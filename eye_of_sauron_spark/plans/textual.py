@@ -504,3 +504,195 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= _BIGRAM_TOPK).select(
         "lang", "rank", "w1", "w2", "n_pair", "n_first", "cond_ppm"
     )
+
+
+# ------------------------------------------------ TextRank keywords
+
+_TR_ITERS = 5
+_TR_TOTAL = 10**12  # fixed-point mass: 1.0 == 10^12 micro-units
+_TR_TOPK = 10
+
+_TR_GRAPH_DUCK = f"""
+    toks AS (
+        SELECT lang, {tokens_duck('text')} AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT lang, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    edges AS (
+        SELECT lang, w1, w2, count(*) AS wt FROM pairs GROUP BY lang, w1, w2
+    ),
+    wsum AS (
+        SELECT lang, w1, CAST(sum(wt) AS BIGINT) AS wsum
+        FROM edges GROUP BY lang, w1
+    ),
+    nodes AS (
+        SELECT DISTINCT lang, w1 AS token FROM edges
+        UNION
+        SELECT DISTINCT lang, w2 AS token FROM edges
+    ),
+    base AS (
+        SELECT lang,
+               {_TR_TOTAL} // count(*) AS m0,
+               (15 * ({_TR_TOTAL} // count(*))) // 100 AS b
+        FROM nodes GROUP BY lang
+    ),
+    r0 AS (
+        SELECT n.lang, n.token, b.m0 AS m
+        FROM nodes n JOIN base b ON b.lang = n.lang
+    )
+"""
+
+
+def _tr_iter_duck(k: int) -> str:
+    return f"""
+    r{k} AS (
+        SELECT n.lang, n.token,
+               b.b + (85 * COALESCE(c.contrib, 0)) // 100 AS m
+        FROM nodes n
+        JOIN base b ON b.lang = n.lang
+        LEFT JOIN (
+            SELECT e.lang, e.w2 AS token,
+                   CAST(sum((r.m * e.wt) // s.wsum) AS BIGINT) AS contrib
+            FROM r{k - 1} r
+            JOIN edges e ON e.lang = r.lang AND e.w1 = r.token
+            JOIN wsum s ON s.lang = e.lang AND s.w1 = e.w1
+            GROUP BY e.lang, e.w2
+        ) c ON c.lang = n.lang AND c.token = n.token
+    )"""
+
+
+_TR_ORACLE = (
+    "WITH "
+    + _TR_GRAPH_DUCK
+    + ","
+    + ",".join(_tr_iter_duck(k) for k in range(1, _TR_ITERS + 1))
+    + f""",
+    ranked AS (
+        SELECT lang, token, m,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY m DESC, token
+               ) AS rank
+        FROM r{_TR_ITERS}
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, token, m
+    FROM ranked WHERE rank <= {_TR_TOPK}
+    """
+)
+
+
+@query("textrank_keywords", oracle=_TR_ORACLE)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank (damping 0.85,
+    5 iterations) over the per-language bigram co-occurrence graph,
+    reporting the top-10 tokens per lang — the second iterative graph
+    algorithm in the engine after connected components, and the
+    graph-centrality cousin of tfidf_top_terms for curation-time
+    keyword/salience scoring.
+
+    The iteration is FIXED-POINT INTEGER arithmetic end to end: node
+    mass lives in micro-units of 10^-12 (m0 = 10^12 div N per lang)
+    and the update rule is
+
+        m'(v) = (15 * m0) div 100
+              + (85 * SUM over u->v of (m(u) * wt(u,v)) div wsum(u)) div 100
+
+    — every operation BIGINT multiply/divide/sum, so five chained
+    iterations are bit-identical across Spark and DuckDB (a float
+    PageRank would accumulate engine-dependent ULP drift that no
+    end-rounding can reliably hash). Truncation loses < N micro-units
+    of mass per round — immaterial for ranking, and *defined* loss:
+    both engines lose exactly the same units.
+
+    Scale shape: the edge list (lang, w1, w2, wt) and out-strength
+    table are built once (one combine-first O(tokens) shuffle) and
+    localCheckpointed; each iteration is an equi-join of ranks
+    against edges on (lang, w1) followed by one (lang, w2) partial
+    aggregate — two bounded shuffles per round on the DISTINCT-bigram
+    relation, never the raw token stream, with lineage cut per round
+    exactly like the CC pointer-jumping loop (plans/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    pairs = d.select("lang", F.explode(bigrams).alias("p")).select(
+        "lang", "p.w1", "p.w2"
+    )
+    edges = (
+        pairs.groupBy("lang", "w1", "w2")
+        .agg(F.count("*").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    wsum = edges.groupBy("lang", "w1").agg(F.sum("wt").alias("wsum"))
+    # edges carrying the source's out-strength: the join is computed
+    # once, not once per iteration
+    ew = (
+        edges.join(wsum, ["lang", "w1"])
+        .select("lang", "w1", "w2", "wt", "wsum")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select("lang", F.col("w1").alias("token"))
+        .union(edges.select("lang", F.col("w2").alias("token")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = nodes.groupBy("lang").agg(
+        F.expr(f"{_TR_TOTAL} div count(*)").alias("m0"),
+        F.expr(f"(15 * ({_TR_TOTAL} div count(*))) div 100").alias("b"),
+    )
+    ranks = nodes.join(F.broadcast(base), "lang").select(
+        "lang", "token", F.col("m0").alias("m")
+    )
+    for _ in range(_TR_ITERS):
+        # explicit renames: nodes/ew share lineage (exprIds survive
+        # localCheckpoint), so qualified access would be ambiguous
+        r = ranks.select(
+            F.col("lang").alias("r_lang"),
+            F.col("token").alias("r_token"),
+            "m",
+        )
+        contrib = (
+            r.join(
+                ew,
+                (F.col("r_lang") == F.col("lang"))
+                & (F.col("r_token") == F.col("w1")),
+            )
+            .select(
+                "lang",
+                F.col("w2").alias("token"),
+                F.expr("(m * wt) div wsum").alias("c"),
+            )
+            .groupBy("lang", "token")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, ["lang", "token"], "left")
+            .join(F.broadcast(base), "lang")
+            .select(
+                "lang",
+                "token",
+                (
+                    F.col("b")
+                    + F.expr("(85 * COALESCE(contrib, 0L)) div 100")
+                ).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ranked = ranks.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("m").desc(), F.col("token"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= _TR_TOPK).select(
+        "lang", "rank", "token", "m"
+    )

@@ -1029,3 +1029,191 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "cents",
     )
+
+
+# --------------------------------------- incremental CDC apply (sink)
+
+_CDC_BATCHES = 8
+# 8 buckets at fixture scale (a production snapshot scales this into
+# the thousands); the fixture's ~1.2k keys touch every bucket every
+# batch, so pruning only fires when key-space >> batch keys — the
+# mechanics (per-bucket generations, pruned reads) are what's tested
+_CDC_BUCKETS = 8
+_CDC_TOMBSTONE = "error"
+
+# The write-side of log compaction: same closed-form oracle as the
+# batch cdc_latest_snapshot (plans/warehouse.py) — the incremental
+# foreachBatch merge must converge to the identical snapshot.
+_CDC_APPLY_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               count(*) OVER (PARTITION BY user_id) AS n_ops,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents,
+           ts AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _cdc_compact_batch(batch):
+    """Collapse one micro-batch to its per-key latest op (+ op count),
+    bucketed for partition-pruned snapshot rewrite."""
+    return (
+        batch.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("last"),
+            F.count("*").alias("n_ops"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("event_type"),
+            F.col("last.value").alias("value"),
+            F.col("last.ts").alias("ts"),
+            F.col("last.event_id").alias("event_id"),
+            "n_ops",
+            F.pmod(F.hash("user_id"), F.lit(_CDC_BUCKETS)).alias("bucket"),
+        )
+    )
+
+
+def _cdc_merge(cur: DataFrame, inc: DataFrame) -> DataFrame:
+    """Greatest-(ts, event_id)-wins full-outer merge of the current
+    snapshot slice with a compacted batch; op counts accumulate.
+    Tombstones are RETAINED (flagged rows, filtered at read time) so
+    a late re-insert after a delete still compares against the
+    tombstone's position in the log."""
+    c = cur.select(*(F.col(x).alias(f"c_{x}") for x in cur.columns))
+    i = inc.select(*(F.col(x).alias(f"i_{x}") for x in inc.columns))
+    j = c.join(i, c["c_user_id"] == i["i_user_id"], "full_outer")
+    inc_wins = F.col("c_user_id").isNull() | (
+        F.col("i_user_id").isNotNull()
+        & (
+            F.struct(F.col("i_ts"), F.col("i_event_id"))
+            > F.struct(F.col("c_ts"), F.col("c_event_id"))
+        )
+    )
+    pick = lambda x: F.when(inc_wins, F.col(f"i_{x}")).otherwise(F.col(f"c_{x}"))  # noqa: E731
+    return j.select(
+        F.coalesce("c_user_id", "i_user_id").alias("user_id"),
+        pick("event_type").alias("event_type"),
+        pick("value").alias("value"),
+        pick("ts").alias("ts"),
+        pick("event_id").alias("event_id"),
+        (
+            F.coalesce("c_n_ops", F.lit(0)) + F.coalesce("i_n_ops", F.lit(0))
+        ).alias("n_ops"),
+        F.coalesce("c_bucket", "i_bucket").alias("bucket"),
+    )
+
+
+@query("stream_cdc_apply_replay", oracle=_CDC_APPLY_ORACLE)
+def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC APPLY, driver-checked: the events change log
+    replays as 8 ordered micro-batches through ``foreachBatch``, each
+    batch upserting into a parquet snapshot partitioned into 16 hash
+    buckets — and ONLY the buckets a batch actually touches are read
+    and rewritten (bucket generations tracked per bucket, so an
+    untouched bucket's files are never opened). The final snapshot
+    must converge to the batch compaction's closed-form oracle
+    (cdc_latest_snapshot): last-writer-wins on (ts, event_id),
+    tombstoned keys absent, per-key op counts accumulated across all
+    eight merges. A merge that loses a concurrent key, resurrects a
+    tombstone, double-counts a batch, or reads a stale bucket
+    generation diverges from the oracle.
+
+    This is the write-side of Kafka log compaction — the reference's
+    per-camera latest-frame contract (web/views.py:200-236) made
+    durable and incremental. Scale shape: per batch, cost is
+    O(batch) + O(touched snapshot buckets) — NOT O(snapshot): the
+    bucket routing is the poor-man's MERGE a plain-parquet pipeline
+    uses where Delta/Iceberg would provide it natively; at 100 TB the
+    bucket count scales up and the same plan holds (each merge is one
+    equi full-outer join per touched slice). Tombstones stay in the
+    snapshot as flagged rows so ordering against late re-inserts
+    stays well-defined; the read side filters them."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    work = tempfile.mkdtemp(prefix="cdc_apply_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _CDC_BATCHES), "batch", _CDC_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP,"
+        " event_id BIGINT",
+    )
+    bucket_paths: dict[int, str] = {}
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        compacted = _cdc_compact_batch(batch).localCheckpoint(eager=True)
+        touched = sorted(
+            r["bucket"] for r in compacted.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        slices = [
+            s.read.parquet(bucket_paths[b]).withColumn("bucket", F.lit(b))
+            for b in touched
+            if b in bucket_paths
+        ]
+        cur = slices[0] if slices else None
+        for sl in slices[1:]:
+            cur = cur.unionByName(sl)
+        inc = compacted.filter(F.col("bucket").isin([int(b) for b in touched]))
+        merged = _cdc_merge(cur, inc) if cur is not None else inc
+        gen_dir = f"{work}/snap/gen={epoch_id}"
+        # cluster by bucket before the partitioned write: one file per
+        # bucket generation instead of shuffle_partitions x buckets
+        merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(gen_dir)
+        for b in touched:
+            bdir = f"{gen_dir}/bucket={b}"
+            if os.path.isdir(bdir):
+                bucket_paths[b] = bdir
+
+    try:
+        with _scoped_shuffle(spark, _CDC_BATCHES):
+            q = (
+                stream.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            final_slices = [
+                spark.read.parquet(p) for p in bucket_paths.values()
+            ]
+            snap = final_slices[0]
+            for sl in final_slices[1:]:
+                snap = sl.unionByName(snap)
+            result = (
+                snap.filter(F.col("event_type") != _CDC_TOMBSTONE)
+                .select(
+                    "user_id",
+                    F.floor(F.col("value") * 100 + 0.5)
+                    .cast("bigint")
+                    .alias("last_cents"),
+                    F.col("ts").alias("last_ts"),
+                    "n_ops",
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -91,3 +91,37 @@ def test_session_replay_emits_only_watermark_closed_sessions(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             # sessions are maximal: consecutive sessions never touch
             assert b.session_start > a.session_end
+
+
+def test_cdc_apply_converges_to_batch_compaction(spark, sf_dir):
+    # the incremental foreachBatch merge and the one-shot batch
+    # compaction must produce the SAME snapshot
+    inc = sorted(
+        (r.user_id, r.last_cents, r.last_ts, r.n_ops)
+        for r in QUERIES["stream_cdc_apply_replay"](spark, sf_dir).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.last_cents, r.last_ts, r.n_ops)
+        for r in QUERIES["cdc_latest_snapshot"](spark, sf_dir).collect()
+    )
+    assert inc == batch
+
+
+def test_textrank_conserves_bounded_mass(spark, sf_dir):
+    from eye_of_sauron_spark.plans.textual import _TR_TOPK, _TR_TOTAL
+
+    rows = QUERIES["textrank_keywords"](spark, sf_dir).collect()
+    assert rows
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+        # no node can exceed total graph mass; every rank is positive
+        assert 0 < r.m < _TR_TOTAL
+    for vs in per_lang.values():
+        assert len(vs) == _TR_TOPK
+        vs.sort(key=lambda r: r.rank)
+        ms = [r.m for r in vs]
+        assert ms == sorted(ms, reverse=True)  # rank order == mass order
+        # top tokens concentrate mass: strictly above the uniform start
+        # for a graph with any structure at all
+        assert vs[0].m > vs[-1].m or len(set(ms)) == 1
