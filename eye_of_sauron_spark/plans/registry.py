@@ -47,6 +47,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_session_replay",
     "stream_cdc_apply_replay",
     "textrank_keywords",
+    "text_lm_score",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

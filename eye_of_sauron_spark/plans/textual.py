@@ -696,3 +696,96 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= _TR_TOPK).select(
         "lang", "rank", "token", "m"
     )
+
+
+# --------------------------------------- LM-based document scoring
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {tokens_duck('text')} AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, lang,
+               ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    lm AS (
+        SELECT lang, w1, w2,
+               (count(*) * 1000000) //
+               CAST(sum(count(*)) OVER (PARTITION BY lang, w1) AS BIGINT)
+                   AS cond_ppm
+        FROM pairs GROUP BY lang, w1, w2
+    )
+    SELECT p.doc_id, p.lang,
+           count(*) AS n_bigrams,
+           CAST(sum(lm.cond_ppm) AS BIGINT) // count(*) AS score_ppm
+    FROM pairs p
+    JOIN lm ON lm.lang = p.lang AND lm.w1 = p.w1 AND lm.w2 = p.w2
+    GROUP BY p.doc_id, p.lang
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the corpus bigram language model:
+    train (aggregate bigram conditionals, integer ppm) and apply
+    (join each document's bigram stream back against the model, mean
+    conditional per doc) — the perplexity-style quality filter of a
+    training-data pipeline, here with the LM self-trained on the
+    scored corpus so every bigram is in-vocabulary and no smoothing
+    constant has to be pinned across engines (production trains on a
+    held-out slice and adds backoff; the plan is identical).
+
+    All arithmetic is BIGINT (ppm conditionals, integer-mean per
+    doc), so the score hashes bit-identically. Scale shape: one
+    O(tokens) combine-first shuffle builds the model; the apply side
+    is an equi-join of the O(tokens) bigram stream against the
+    O(distinct bigrams) model on (lang, w1, w2) — left UNHINTED so
+    AQE broadcasts the model iff it measures small (the
+    tfidf-vocabulary lesson: a web-scale bigram table is GBs), then
+    one partial-aggregating mean per doc."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_spark(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    pairs = d.select("doc_id", "lang", F.explode(bigrams).alias("p")).select(
+        "doc_id", "lang", "p.w1", "p.w2"
+    )
+    lm = (
+        pairs.groupBy("lang", "w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .withColumn(
+            "cond_ppm",
+            F.expr(
+                "(n_pair * 1000000) div sum(n_pair)"
+                " over (partition by lang, w1)"
+            ),
+        )
+        .select(
+            F.col("lang").alias("m_lang"),
+            F.col("w1").alias("m_w1"),
+            F.col("w2").alias("m_w2"),
+            "cond_ppm",
+        )
+    )
+    return (
+        pairs.join(
+            lm,
+            (pairs["lang"] == lm["m_lang"])
+            & (pairs["w1"] == lm["m_w1"])
+            & (pairs["w2"] == lm["m_w2"]),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(cond_ppm) div count(*)").alias("score_ppm"),
+        )
+    )

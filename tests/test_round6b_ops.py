@@ -125,3 +125,16 @@ def test_textrank_conserves_bounded_mass(spark, sf_dir):
         # top tokens concentrate mass: strictly above the uniform start
         # for a graph with any structure at all
         assert vs[0].m > vs[-1].m or len(set(ms)) == 1
+
+
+def test_lm_score_bounds_and_coverage(spark, sf_dir):
+    rows = QUERIES["text_lm_score"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").collect()
+    multi_tok = {d.doc_id for d in docs if len(d.text.split(" ")) >= 2}
+    assert {r.doc_id for r in rows} == multi_tok  # every scorable doc scored
+    for r in rows:
+        # a conditional mean lives in (0, 1e6]; a doc of one repeated
+        # unique continuation would hit exactly 1e6
+        assert 0 < r.score_ppm <= 1_000_000
+        assert r.n_bigrams >= 1
