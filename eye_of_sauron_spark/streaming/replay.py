@@ -1086,6 +1086,31 @@ def _cdc_compact_batch(batch):
     )
 
 
+def _cdc_read_gen(hist: list[tuple[int, str]], epoch_id: int) -> str | None:
+    """The bucket generation a merge for ``epoch_id`` must read: the
+    latest generation written by an EARLIER epoch. foreachBatch is
+    at-least-once — a crash between the generation write and the
+    batch commit re-delivers the epoch, and re-merging against the
+    epoch's own output would double-accumulate op counts. Keyed on
+    epoch, a retry transparently re-reads the pre-epoch state and the
+    idempotent gen-dir overwrite replaces the partial attempt."""
+    for ep, path in reversed(hist):
+        if ep < epoch_id:
+            return path
+    return None
+
+
+def _cdc_record_gen(
+    hist: list[tuple[int, str]], epoch_id: int, path: str
+) -> None:
+    """Record ``path`` as ``epoch_id``'s generation (replacing a prior
+    attempt of the same epoch, appending otherwise)."""
+    if hist and hist[-1][0] == epoch_id:
+        hist[-1] = (epoch_id, path)
+    else:
+        hist.append((epoch_id, path))
+
+
 def _cdc_merge(cur: DataFrame, inc: DataFrame) -> DataFrame:
     """Greatest-(ts, event_id)-wins full-outer merge of the current
     snapshot slice with a compacted batch; op counts accumulate.
@@ -1156,7 +1181,10 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP,"
         " event_id BIGINT",
     )
-    bucket_paths: dict[int, str] = {}
+    # per-bucket generation HISTORY keyed by epoch — not a bare
+    # latest-path pointer — so an at-least-once epoch re-delivery
+    # re-reads the pre-epoch generation (see _cdc_read_gen)
+    bucket_hist: dict[int, list[tuple[int, str]]] = {}
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
@@ -1166,10 +1194,14 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not touched:
             return
-        slices = [
-            s.read.parquet(bucket_paths[b]).withColumn("bucket", F.lit(b))
+        cur_paths = [
+            (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
             for b in touched
-            if b in bucket_paths
+        ]
+        slices = [
+            s.read.parquet(p).withColumn("bucket", F.lit(b))
+            for b, p in cur_paths
+            if p is not None
         ]
         cur = slices[0] if slices else None
         for sl in slices[1:]:
@@ -1185,7 +1217,7 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in touched:
             bdir = f"{gen_dir}/bucket={b}"
             if os.path.isdir(bdir):
-                bucket_paths[b] = bdir
+                _cdc_record_gen(bucket_hist.setdefault(b, []), epoch_id, bdir)
 
     try:
         with _scoped_shuffle(spark, _CDC_BATCHES):
@@ -1197,7 +1229,8 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             final_slices = [
-                spark.read.parquet(p) for p in bucket_paths.values()
+                spark.read.parquet(hist[-1][1])
+                for hist in bucket_hist.values()
             ]
             snap = final_slices[0]
             for sl in final_slices[1:]:

@@ -138,3 +138,25 @@ def test_lm_score_bounds_and_coverage(spark, sf_dir):
         # unique continuation would hit exactly 1e6
         assert 0 < r.score_ppm <= 1_000_000
         assert r.n_bigrams >= 1
+
+
+def test_cdc_apply_epoch_retry_reads_pre_epoch_generation():
+    # at-least-once foreachBatch: a retried epoch must NOT read its own
+    # partial output (it would double-accumulate n_ops) — it re-reads
+    # the last generation of an EARLIER epoch, and its re-write
+    # replaces the failed attempt's history entry
+    from eye_of_sauron_spark.streaming.replay import (
+        _cdc_read_gen,
+        _cdc_record_gen,
+    )
+
+    hist: list[tuple[int, str]] = []
+    assert _cdc_read_gen(hist, 0) is None
+    _cdc_record_gen(hist, 0, "gen0")
+    assert _cdc_read_gen(hist, 1) == "gen0"
+    _cdc_record_gen(hist, 1, "gen1")
+    # epoch 1 retried after recording: reads gen0 again, not gen1
+    assert _cdc_read_gen(hist, 1) == "gen0"
+    _cdc_record_gen(hist, 1, "gen1-retry")
+    assert hist == [(0, "gen0"), (1, "gen1-retry")]
+    assert _cdc_read_gen(hist, 2) == "gen1-retry"
