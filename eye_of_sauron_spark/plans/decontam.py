@@ -203,3 +203,77 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("df").alias("max_df"),
         F.count("*").alias("total_occurrences"),
     )
+
+
+# --------------------------------------- source-overlap forensics
+
+_OVL_DF_CAP = 64
+
+
+@query(
+    "decontam_source_overlap_matrix",
+    oracle=f"""
+    WITH ds AS (
+        SELECT DISTINCT source, unnest({shingles_duck('text', _SPAN_N)}) AS span
+        FROM documents
+    ),
+    grp AS (
+        SELECT span, list_sort(list(source)) AS ss
+        FROM ds GROUP BY span
+        HAVING len(list(source)) BETWEEN 2 AND {_OVL_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.a AS src_a, b.b AS src_b
+        FROM grp, unnest(ss) AS a(a), unnest(ss) AS b(b)
+        WHERE a.a < b.b
+    )
+    SELECT src_a, src_b, count(*) AS n_shared_spans
+    FROM pairs GROUP BY src_a, src_b
+    """,
+)
+def decontam_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination forensics: for every pair of corpus
+    sources, how many distinct 8-token spans they share — the matrix
+    that tells a curation team which crawls/mirrors duplicate each
+    other before any pairwise doc dedup runs (the source-level view
+    of dedup_substring_spans' per-language census).
+
+    Join-free inverted-index shape, same as ngram dedup: distinct
+    (source, span) postings -> per-span sorted source set (hash
+    aggregate, map-side combine) -> in-array pairwise expansion via
+    nested transform/slice (emits O(df^2) pairs ONLY after the df
+    cap [2, 64] bounds df, so per-span work <= cap^2) ->
+    one (src_a, src_b) count aggregate. A span shared by every mirror
+    of a crawl is exactly the stop-shingle case the cap exists for;
+    with 20 sources the cap never binds on the fixture, and at real
+    scale it turns boilerplate spans into a bounded cost instead of a
+    quadratic one."""
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    sp = (
+        d.select(
+            "source",
+            F.explode_outer(shingles_spark(F.col("text"), _SPAN_N)).alias("span"),
+        )
+        .filter(F.col("span").isNotNull())
+        .distinct()
+    )
+    grp = (
+        sp.groupBy("span")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss").between(2, _OVL_DF_CAP))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.vector import cosine_duck, cosine_spark, dot_duck, dot_spark
+from ..functions.vector import (
+    cosine_duck,
+    cosine_spark,
+    dot_duck,
+    dot_spark,
+    l2_duck,
+    l2_spark,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -680,3 +687,72 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     code arithmetic regressed on one engine (and a one-sided drift
     fails the hash compare before it fails the recall)."""
     return _recall_of(spark, sf_dir, similarity_topk_sq8_rerank)
+
+
+# ------------------------------------------------ centroid statistics
+
+
+@query(
+    "embedding_centroid_stats",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, CAST(t.i AS INT) AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label,
+               list(round(m, 6) ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos, avg(v) AS m FROM comp GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    stats AS (
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg({l2_duck('embedding')}), 6) AS avg_norm
+        FROM embeddings GROUP BY label
+    )
+    SELECT s.label, s.n_vecs, s.avg_norm, c.centroid
+    FROM stats s JOIN cent c ON c.label = s.label
+    """,
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + norm statistics — the corpus
+    monitoring pass of a vector pipeline (drift dashboards, IVF
+    coarse-quantizer seeding, per-class norm audits before cosine
+    retrieval).
+
+    Scale shape is the point: the centroid is computed DIMENSION-
+    PARALLEL via posexplode -> (label, pos) partial+final average —
+    the shuffle key is (label, pos), so a 1-billion-vector label is
+    spread over dim-many reducers instead of hot-spotting one, and
+    the map side combines each partition to one partial sum per
+    (label, pos) before anything moves. The vector is reassembled
+    only on the already-aggregated (label x dim) relation
+    (sort_array(collect_list(struct(pos, v)))) — deterministic order
+    by construction, never a collect_list over raw rows. Norm stats
+    ride a separate one-exchange label aggregate joined back on the
+    tiny label key."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid")
+        )
+    )
+    stats = e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(l2_spark(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+    return stats.join(cent, "label").select(
+        "label", "n_vecs", "avg_norm", "centroid"
+    )

@@ -1188,7 +1188,10 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        compacted = _cdc_compact_batch(batch).localCheckpoint(eager=True)
+        # no checkpoint: the compact re-evaluates once inside the merge
+        # write, which is cheaper than materializing it as its own job
+        # (2 jobs per micro-batch instead of 3)
+        compacted = _cdc_compact_batch(batch)
         touched = sorted(
             r["bucket"] for r in compacted.select("bucket").distinct().collect()
         )

@@ -160,3 +160,23 @@ def test_cdc_apply_epoch_retry_reads_pre_epoch_generation():
     _cdc_record_gen(hist, 1, "gen1-retry")
     assert hist == [(0, "gen0"), (1, "gen1-retry")]
     assert _cdc_read_gen(hist, 2) == "gen1-retry"
+
+
+def test_source_overlap_matrix_is_symmetric_ordered(spark, sf_dir):
+    rows = QUERIES["decontam_source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b  # canonical pair order, no mirror rows
+        assert r.n_shared_spans >= 1
+    assert len({(r.src_a, r.src_b) for r in rows}) == len(rows)
+
+
+def test_centroid_stats_shape_and_norm_bound(spark, sf_dir):
+    rows = QUERIES["embedding_centroid_stats"](spark, sf_dir).collect()
+    assert {r.label for r in rows} == set(range(10))
+    for r in rows:
+        assert len(r.centroid) == 64  # full dimension reassembled in order
+        assert r.n_vecs >= 1
+        # Jensen: the centroid's norm can never exceed the mean norm
+        norm_c = sum(v * v for v in r.centroid) ** 0.5
+        assert norm_c <= r.avg_norm + 1e-6
