@@ -44,3 +44,33 @@ def shingles_duck(expr: str, n: int = 3) -> str:
         f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
     )
+
+
+def bigrams_spark(text: Column) -> Column:
+    """Ordered token bigrams of ``text`` as array<struct<w1,w2>> —
+    the token array zipped against itself shifted by one (narrow
+    per-row expression, no positional self-join). Empty below 2
+    tokens (guarded: slice lengths must stay >= 0)."""
+    toks = tokens_spark(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+
+
+def bigrams_duck_from(table: str, cols: str) -> str:
+    """DuckDB FROM-clause twin of :func:`bigrams_spark`: expands
+    ``table`` into one row per token bigram with columns ``cols``
+    (caller-projected) plus w1/w2. DuckDB's range(a, b) is empty for
+    b <= a, so short docs vanish without a guard."""
+    toks = tokens_duck("text")
+    return f"""(
+        SELECT {cols}, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT *, {toks} AS ts FROM {table}),
+             unnest(range(1, len(ts))) AS t(i)
+    )"""

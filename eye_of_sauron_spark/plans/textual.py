@@ -15,7 +15,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.text import tokens_duck, tokens_spark
+from ..functions.text import (
+    bigrams_duck_from,
+    bigrams_spark,
+    tokens_duck,
+    tokens_spark,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -427,12 +432,8 @@ _BIGRAM_TOPK = 5
 @query(
     "text_bigram_lm",
     oracle=f"""
-    WITH toks AS (
-        SELECT lang, {tokens_duck('text')} AS ts FROM documents
-    ),
-    pairs AS (
-        SELECT lang, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-        FROM toks, unnest(range(1, len(ts))) AS t(i)
+    WITH pairs AS (
+        SELECT lang, w1, w2 FROM {bigrams_duck_from('documents', 'lang')} b
     ),
     counts AS (
         SELECT lang, w1, w2,
@@ -474,16 +475,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure integer arithmetic (``* 1000000 div``), so both engines
     compute bit-identical ppm with no float division in the hash."""
     d = _t(spark, sf_dir, "documents")
-    toks = tokens_spark(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array())
+    bigrams = bigrams_spark(F.col("text"))
     pairs = d.select("lang", F.explode(bigrams).alias("p")).select(
         "lang", "p.w1", "p.w2"
     )
@@ -513,12 +505,8 @@ _TR_TOTAL = 10**12  # fixed-point mass: 1.0 == 10^12 micro-units
 _TR_TOPK = 10
 
 _TR_GRAPH_DUCK = f"""
-    toks AS (
-        SELECT lang, {tokens_duck('text')} AS ts FROM documents
-    ),
     pairs AS (
-        SELECT lang, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-        FROM toks, unnest(range(1, len(ts))) AS t(i)
+        SELECT lang, w1, w2 FROM {bigrams_duck_from('documents', 'lang')} b
     ),
     edges AS (
         SELECT lang, w1, w2, count(*) AS wt FROM pairs GROUP BY lang, w1, w2
@@ -613,16 +601,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, never the raw token stream, with lineage cut per round
     exactly like the CC pointer-jumping loop (plans/dedup.py)."""
     d = _t(spark, sf_dir, "documents")
-    toks = tokens_spark(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array())
+    bigrams = bigrams_spark(F.col("text"))
     pairs = d.select("lang", F.explode(bigrams).alias("p")).select(
         "lang", "p.w1", "p.w2"
     )
@@ -704,13 +683,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_lm_score",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, lang, {tokens_duck('text')} AS ts FROM documents
-    ),
-    pairs AS (
-        SELECT doc_id, lang,
-               ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-        FROM toks, unnest(range(1, len(ts))) AS t(i)
+    WITH pairs AS (
+        SELECT doc_id, lang, w1, w2
+        FROM {bigrams_duck_from('documents', 'doc_id, lang')} b
     ),
     lm AS (
         SELECT lang, w1, w2,
@@ -746,16 +721,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf-vocabulary lesson: a web-scale bigram table is GBs), then
     one partial-aggregating mean per doc."""
     d = _t(spark, sf_dir, "documents")
-    toks = tokens_spark(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array())
+    bigrams = bigrams_spark(F.col("text"))
     pairs = d.select("doc_id", "lang", F.explode(bigrams).alias("p")).select(
         "doc_id", "lang", "p.w1", "p.w2"
     )
