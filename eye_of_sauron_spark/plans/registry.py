@@ -50,6 +50,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_lm_score",
     "decontam_source_overlap_matrix",
     "embedding_centroid_stats",
+    "cohort_retention_orders",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

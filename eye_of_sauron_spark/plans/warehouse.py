@@ -238,3 +238,59 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.segment").alias("segment"),
         F.col("v.is_current").alias("is_current"),
     )
+
+
+# ---------------------------------------------- cohort retention
+
+@query(
+    "cohort_retention_orders",
+    oracle="""
+    WITH marked AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+               )) AS TIMESTAMP) AS cohort,
+               o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+        FROM orders
+    )
+    SELECT cohort,
+           CAST(date_diff('month', cohort, m) AS INT) AS k,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM marked
+    GROUP BY cohort, k
+    """,
+)
+def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by the month of
+    their FIRST order (the cohort), counted in every subsequent month
+    offset k in which they ordered again — the triangle every
+    retention dashboard draws, and the warehouse-analytics shape
+    (self-referential "first event per key" + offset bucketing) that
+    complements the funnel and session operators.
+
+    Plan: the cohort month comes from an unordered MIN window over
+    o_custkey — ONE exchange on the customer key, no self-join (the
+    textbook first-order-subquery form scans and shuffles orders
+    twice); the (cohort, k) rollup's count-distinct then reuses the
+    standard two-phase distinct aggregate. Month arithmetic is
+    integer months between first-of-month dates — exact on both
+    engines, nothing floats."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    cohort = F.date_trunc("month", F.min("o_orderdate").over(W.partitionBy("o_custkey")))
+    m = F.date_trunc("month", F.col("o_orderdate"))
+    marked = orders.select(
+        cohort.alias("cohort"),
+        "o_custkey",
+        m.alias("m"),
+    )
+    return (
+        marked.select(
+            "cohort",
+            F.months_between("m", "cohort").cast("int").alias("k"),
+            "o_custkey",
+        )
+        .groupBy("cohort", "k")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )

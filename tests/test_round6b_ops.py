@@ -180,3 +180,16 @@ def test_centroid_stats_shape_and_norm_bound(spark, sf_dir):
         # Jensen: the centroid's norm can never exceed the mean norm
         norm_c = sum(v * v for v in r.centroid) ** 0.5
         assert norm_c <= r.avg_norm + 1e-6
+
+
+def test_cohort_retention_triangle_invariants(spark, sf_dir):
+    rows = QUERIES["cohort_retention_orders"](spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.k >= 0
+        by_cohort.setdefault(r.cohort, {})[r.k] = r.n_customers
+    for ks in by_cohort.values():
+        assert 0 in ks  # the cohort month itself always has its members
+        # k=0 counts EVERY cohort member, so it bounds every later month
+        assert all(v <= ks[0] for v in ks.values())
