@@ -63,12 +63,14 @@ def bigrams_spark(text: Column) -> Column:
     ).otherwise(F.array())
 
 
-def bigrams_duck_from(table: str, cols: str) -> str:
+def bigrams_duck_from(table: str, cols: str, text_expr: str = "text") -> str:
     """DuckDB FROM-clause twin of :func:`bigrams_spark`: expands
     ``table`` into one row per token bigram with columns ``cols``
-    (caller-projected) plus w1/w2. DuckDB's range(a, b) is empty for
+    (caller-projected) plus w1/w2; ``text_expr`` names the tokenized
+    column (mirroring tokens_duck/shingles_duck taking the expression
+    rather than assuming one). DuckDB's range(a, b) is empty for
     b <= a, so short docs vanish without a guard."""
-    toks = tokens_duck("text")
+    toks = tokens_duck(text_expr)
     return f"""(
         SELECT {cols}, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
         FROM (SELECT *, {toks} AS ts FROM {table}),

@@ -502,6 +502,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TR_ITERS = 5
 _TR_TOTAL = 10**12  # fixed-point mass: 1.0 == 10^12 micro-units
+_TR_PPM = 10**6  # edge probabilities quantized to parts-per-million
 _TR_TOPK = 10
 
 _TR_GRAPH_DUCK = f"""
@@ -514,6 +515,10 @@ _TR_GRAPH_DUCK = f"""
     wsum AS (
         SELECT lang, w1, CAST(sum(wt) AS BIGINT) AS wsum
         FROM edges GROUP BY lang, w1
+    ),
+    ew AS (
+        SELECT e.lang, e.w1, e.w2, (e.wt * {_TR_PPM}) // s.wsum AS p_ppm
+        FROM edges e JOIN wsum s ON s.lang = e.lang AND s.w1 = e.w1
     ),
     nodes AS (
         SELECT DISTINCT lang, w1 AS token FROM edges
@@ -542,10 +547,9 @@ def _tr_iter_duck(k: int) -> str:
         JOIN base b ON b.lang = n.lang
         LEFT JOIN (
             SELECT e.lang, e.w2 AS token,
-                   CAST(sum((r.m * e.wt) // s.wsum) AS BIGINT) AS contrib
+                   CAST(sum((r.m * e.p_ppm) // {_TR_PPM}) AS BIGINT) AS contrib
             FROM r{k - 1} r
-            JOIN edges e ON e.lang = r.lang AND e.w1 = r.token
-            JOIN wsum s ON s.lang = e.lang AND s.w1 = e.w1
+            JOIN ew e ON e.lang = r.lang AND e.w1 = r.token
             GROUP BY e.lang, e.w2
         ) c ON c.lang = n.lang AND c.token = n.token
     )"""
@@ -580,18 +584,23 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword/salience scoring.
 
     The iteration is FIXED-POINT INTEGER arithmetic end to end: node
-    mass lives in micro-units of 10^-12 (m0 = 10^12 div N per lang)
-    and the update rule is
+    mass lives in micro-units of 10^-12 (m0 = 10^12 div N per lang),
+    each edge carries its transition probability quantized to ppm
+    (p_ppm = (wt * 10^6) div wsum <= 10^6), and the update rule is
 
         m'(v) = (15 * m0) div 100
-              + (85 * SUM over u->v of (m(u) * wt(u,v)) div wsum(u)) div 100
+              + (85 * SUM over u->v of (m(u) * p_ppm(u,v)) div 10^6) div 100
 
     — every operation BIGINT multiply/divide/sum, so five chained
     iterations are bit-identical across Spark and DuckDB (a float
     PageRank would accumulate engine-dependent ULP drift that no
-    end-rounding can reliably hash). Truncation loses < N micro-units
-    of mass per round — immaterial for ranking, and *defined* loss:
-    both engines lose exactly the same units.
+    end-rounding can reliably hash), and every intermediate is
+    PROVABLY in range at any corpus scale: m <= 10^12 (mass only
+    shrinks) and p_ppm <= 10^6 bound the product at 10^18 < 2^63,
+    where the naive (m * wt) div wsum form overflows once a
+    stop-bigram count crosses ~9.2e6. Truncation loses bounded,
+    *defined* mass per round — both engines lose exactly the same
+    units, immaterial for ranking.
 
     Scale shape: the edge list (lang, w1, w2, wt) and out-strength
     table are built once (one combine-first O(tokens) shuffle) and
@@ -611,11 +620,20 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     wsum = edges.groupBy("lang", "w1").agg(F.sum("wt").alias("wsum"))
-    # edges carrying the source's out-strength: the join is computed
-    # once, not once per iteration
+    # edges carrying the source's transition probability in ppm: the
+    # normalization join runs once, not once per iteration, and the
+    # bounded p_ppm <= 10^6 is what keeps every later multiply inside
+    # BIGINT (m * p_ppm <= 10^12 * 10^6 < 2^63) at ANY corpus scale —
+    # the raw (m * wt) form overflows once a stop-bigram's count
+    # exceeds ~9.2e6 against a hub node's mass
     ew = (
         edges.join(wsum, ["lang", "w1"])
-        .select("lang", "w1", "w2", "wt", "wsum")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            F.expr(f"(wt * {_TR_PPM}) div wsum").alias("p_ppm"),
+        )
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -648,7 +666,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "lang",
                 F.col("w2").alias("token"),
-                F.expr("(m * wt) div wsum").alias("c"),
+                F.expr(f"(m * p_ppm) div {_TR_PPM}").alias("c"),
             )
             .groupBy("lang", "token")
             .agg(F.sum("c").alias("contrib"))

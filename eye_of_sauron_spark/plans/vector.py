@@ -697,23 +697,28 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH comp AS (
         SELECT label, CAST(t.i AS INT) AS pos,
-               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+               CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS vm
         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     ),
     cent AS (
         SELECT label,
-               list(round(m, 6) ORDER BY pos) AS centroid
+               list(m ORDER BY pos) AS centroid_micro
         FROM (
-            SELECT label, pos, avg(v) AS m FROM comp GROUP BY label, pos
+            SELECT label, pos,
+                   CAST(sum(vm) AS BIGINT) // count(*) AS m
+            FROM comp GROUP BY label, pos
         ) GROUP BY label
     ),
     stats AS (
         SELECT label,
                count(*) AS n_vecs,
-               round(avg({l2_duck('embedding')}), 6) AS avg_norm
+               CAST(sum(CAST(floor({l2_duck('embedding')} * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) // count(*)
+                   AS avg_norm_micro
         FROM embeddings GROUP BY label
     )
-    SELECT s.label, s.n_vecs, s.avg_norm, c.centroid
+    SELECT s.label, s.n_vecs, s.avg_norm_micro, c.centroid_micro
     FROM stats s JOIN cent c ON c.label = s.label
     """,
 )
@@ -733,26 +738,50 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort_array(collect_list(struct(pos, v)))) — deterministic order
     by construction, never a collect_list over raw rows. Norm stats
     ride a separate one-exchange label aggregate joined back on the
-    tiny label key."""
+    tiny label key.
+
+    All cross-row aggregation is BIGINT: components (and per-row
+    norms, themselves deterministic array-order folds) quantize to
+    micro-units per row, then sum/div as integers — a double avg
+    would sum in partition order, and Spark-vs-DuckDB ULP drift at a
+    rounding boundary would flake the value hash (~640 dice rolls
+    per run)."""
     e = _t(spark, sf_dir, "embeddings")
     comp = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
-    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
     cent = (
         comp.groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(F.expr("sum(vm) div count(*)").alias("m"))
         .groupBy("label")
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: F.round(s["m"], 6),
-            ).alias("centroid")
+                lambda s: s["m"],
+            ).alias("centroid_micro")
         )
     )
-    stats = e.groupBy("label").agg(
-        F.count("*").alias("n_vecs"),
-        F.round(F.avg(l2_spark(F.col("embedding"))), 6).alias("avg_norm"),
+    norm_micro = F.floor(
+        l2_spark(F.col("embedding")) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    stats = (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(norm_micro).alias("norm_sum"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("norm_sum div n_vecs").alias("avg_norm_micro"),
+        )
     )
     return stats.join(cent, "label").select(
-        "label", "n_vecs", "avg_norm", "centroid"
+        "label", "n_vecs", "avg_norm_micro", "centroid_micro"
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32_duck, hex32_spark
+from ..functions.money import cents_duck, cents_spark
 from ..sources import load_table
 from .registry import query
 
@@ -43,11 +44,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _cents(col: F.Column) -> F.Column:
-    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
-
-
-_CENTS_DUCK = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+_cents = cents_spark
 
 # ------------------------------------------------- CDC log compaction
 
@@ -57,9 +54,11 @@ _CENTS_DUCK = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
 _TOMBSTONE = "error"
 
 
-@query(
-    "cdc_latest_snapshot",
-    oracle=f"""
+# The closed-form snapshot oracle — shared verbatim with the
+# incremental write-side replay (streaming/replay.py::
+# stream_cdc_apply_replay), which must converge to it; one constant,
+# so the convergence contract cannot silently drift.
+CDC_SNAPSHOT_ORACLE = f"""
     WITH ranked AS (
         SELECT user_id, event_type, value, ts,
                count(*) OVER (PARTITION BY user_id) AS n_ops,
@@ -69,13 +68,15 @@ _TOMBSTONE = "error"
         FROM events
     )
     SELECT user_id,
-           {_CENTS_DUCK.format(x='value')} AS last_cents,
+           {cents_duck('value')} AS last_cents,
            ts AS last_ts,
            CAST(n_ops AS BIGINT) AS n_ops
     FROM ranked
     WHERE rn = 1 AND event_type <> '{_TOMBSTONE}'
-    """,
-)
+"""
+
+
+@query("cdc_latest_snapshot", oracle=CDC_SNAPSHOT_ORACLE)
 def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse a keyed change log to its current snapshot:
     last-writer-wins per user_id on (ts, event_id) order, keys whose
@@ -134,7 +135,7 @@ _INS_KEY_DUCK = f"{hex32_duck(_INS_EXPR_DUCK)} % 10 = 0"
     chg AS (
         SELECT CASE WHEN {_INS_KEY_DUCK}
                     THEN o_custkey + {_INSERT_OFFSET} ELSE o_custkey END AS key,
-               CAST(sum({_CENTS_DUCK.format(x='o_totalprice')}) AS BIGINT)
+               CAST(sum({cents_duck('o_totalprice')}) AS BIGINT)
                    AS new_cents
         FROM orders
         WHERE o_orderdate >= (SELECT c FROM cutoff)
@@ -144,7 +145,7 @@ _INS_KEY_DUCK = f"{hex32_duck(_INS_EXPR_DUCK)} % 10 = 0"
         SELECT coalesce(d.c_custkey, c.key) AS key,
                d.c_custkey IS NOT NULL AS in_dim,
                c.key IS NOT NULL AS in_chg,
-               {_CENTS_DUCK.format(x='d.c_acctbal')} AS old_cents,
+               {cents_duck('d.c_acctbal')} AS old_cents,
                d.c_mktsegment AS seg,
                c.new_cents
         FROM customer d FULL OUTER JOIN chg c ON d.c_custkey = c.key

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.money import cents_duck, cents_spark
 from ..plans.registry import query
 from ..sources import load_table
 from .harness import (
@@ -806,13 +807,13 @@ _WAGG_DELAY = "2 hours"
 # windows carry exact full counts; the last day(s) of the fixture
 # stay in state and must NOT appear (asserting their absence is the
 # point: it proves the real watermark gate ran, not a batch agg).
-_WAGG_ORACLE = """
+_WAGG_ORACLE = f"""
     WITH wm AS (
         SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
     )
     SELECT date_trunc('day', ts) AS ws, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_duck('value')}) AS BIGINT)
                AS cents
     FROM events
     GROUP BY ws, event_type
@@ -847,7 +848,7 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(
         spark, f"{work}/in", "ts TIMESTAMP, event_type STRING, value DOUBLE"
     )
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    cents = cents_spark(F.col("value"))
     agg = (
         stream.withWatermark("ts", _WAGG_DELAY)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -964,7 +965,7 @@ _SESS_ORACLE = f"""
                min(ts) AS session_start,
                max(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE AS session_end,
                count(*) AS n_events,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               CAST(sum({cents_duck('value')}) AS BIGINT)
                    AS cents
         FROM numbered GROUP BY user_id, sid
     )
@@ -1003,7 +1004,7 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(
         spark, f"{work}/in", "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
     )
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    cents = cents_spark(F.col("value"))
     agg = (
         stream.withWatermark("ts", _SESS_DELAY)
         .groupBy(
@@ -1039,27 +1040,12 @@ _CDC_BATCHES = 8
 # batch, so pruning only fires when key-space >> batch keys — the
 # mechanics (per-bucket generations, pruned reads) are what's tested
 _CDC_BUCKETS = 8
-_CDC_TOMBSTONE = "error"
 
-# The write-side of log compaction: same closed-form oracle as the
-# batch cdc_latest_snapshot (plans/warehouse.py) — the incremental
-# foreachBatch merge must converge to the identical snapshot.
-_CDC_APPLY_ORACLE = """
-    WITH ranked AS (
-        SELECT user_id, event_type, value, ts,
-               count(*) OVER (PARTITION BY user_id) AS n_ops,
-               row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-               ) AS rn
-        FROM events
-    )
-    SELECT user_id,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents,
-           ts AS last_ts,
-           CAST(n_ops AS BIGINT) AS n_ops
-    FROM ranked
-    WHERE rn = 1 AND event_type <> 'error'
-"""
+# The write-side of log compaction must converge to the batch
+# compaction's snapshot — ONE shared oracle constant (and tombstone),
+# so the convergence contract cannot silently drift between modules.
+from ..plans.warehouse import CDC_SNAPSHOT_ORACLE as _CDC_APPLY_ORACLE  # noqa: E402
+from ..plans.warehouse import _TOMBSTONE as _CDC_TOMBSTONE  # noqa: E402
 
 
 def _cdc_compact_batch(batch):
@@ -1145,7 +1131,7 @@ def _cdc_merge(cur: DataFrame, inc: DataFrame) -> DataFrame:
 def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC APPLY, driver-checked: the events change log
     replays as 8 ordered micro-batches through ``foreachBatch``, each
-    batch upserting into a parquet snapshot partitioned into 16 hash
+    batch upserting into a parquet snapshot partitioned into 8 hash
     buckets — and ONLY the buckets a batch actually touches are read
     and rewritten (bucket generations tracked per bucket, so an
     untouched bucket's files are never opened). The final snapshot
@@ -1209,7 +1195,8 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = slices[0] if slices else None
         for sl in slices[1:]:
             cur = cur.unionByName(sl)
-        inc = compacted.filter(F.col("bucket").isin([int(b) for b in touched]))
+        # touched IS compacted's distinct bucket set — no filter needed
+        inc = compacted
         merged = _cdc_merge(cur, inc) if cur is not None else inc
         gen_dir = f"{work}/snap/gen={epoch_id}"
         # cluster by bucket before the partitioned write: one file per
@@ -1242,9 +1229,7 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 snap.filter(F.col("event_type") != _CDC_TOMBSTONE)
                 .select(
                     "user_id",
-                    F.floor(F.col("value") * 100 + 0.5)
-                    .cast("bigint")
-                    .alias("last_cents"),
+                    cents_spark(F.col("value")).alias("last_cents"),
                     F.col("ts").alias("last_ts"),
                     "n_ops",
                 )
