@@ -469,3 +469,108 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_fail.alias("first_fail"),
         (first_fail == "pass").alias("keep"),
     )
+
+
+# ------------------------------------- temperature mixture sampling
+
+# tau = 0.5 via ONE sqrt per source: sqrt is IEEE-correctly-rounded
+# (unlike pow/exp), so floor(sqrt(n) * 1e6) is the same BIGINT on
+# every engine; every cross-row step after that is pure integer
+# arithmetic with provably in-range intermediates (see the operator
+# docstring), so the rates hash bit-identically.
+_MIX_BUDGET_PCT = 50  # sample down to ~50% of the corpus
+
+_MIX_KEY_DUCK = "'mix:' || CAST(doc_id AS VARCHAR)"
+
+
+@query(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS sqrtm
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               CAST(sum(sqrtm) AS BIGINT) AS sq_totalm
+        FROM per_source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               least(
+                   ((sqrtm * 1000000) // sq_totalm)
+                   * least((total * {_MIX_BUDGET_PCT * 10000}) // n_docs,
+                           1000000000000)
+                   // 1000000,
+                   1000000) AS rate_ppm
+        FROM per_source, tot
+    )
+    SELECT d.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           r.rate_ppm,
+           CAST(sum(CASE WHEN {hex32_duck(_MIX_KEY_DUCK)} % 1000000 < r.rate_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON r.source = d.source
+    GROUP BY d.source, r.n_docs, r.rate_ppm
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixture sampling (tau = 0.5): per-source
+    keep-rates proportional to sqrt(source share) — the standard
+    mixture-flattening rule that up-weights small sources and
+    down-weights dominant crawls — applied as a deterministic hash
+    gate per document (hex32('mix:'||doc_id) % 1e6 < rate_ppm), with
+    per-source accounting. Complements mixture_cap_per_source: the
+    cap TRUNCATES the head, temperature RESCALES the whole mixture.
+
+    Rate arithmetic is fixed-point with ONE float op: sqrtm =
+    floor(sqrt(n_docs) * 1e6) (sqrt is IEEE-correctly-rounded, so
+    this BIGINT is engine-identical); the normalizer sums sqrtm as
+    integers (order-free, unlike a double sum of sqrts); then
+
+        q_ppm    = (sqrtm * 1e6) div sum(sqrtm)          <= 1e6
+        t        = min((total * budget_ppm) div n_s, 1e12)
+        rate_ppm = min((q_ppm * t) div 1e6, 1e6)
+
+    with every product provably < 2^63 (q_ppm <= 1e6, t <= 1e12; the
+    t clamp never changes the final rate because any clamped t
+    already saturates rate at 1e6). Membership is then pure integer
+    hashing — stable across engines, runs, scales, partitionings.
+
+    Scale shape: the rate table is one tiny per-source aggregate
+    (broadcast); the gate is a narrow expression on the scan —
+    sampling 100 TB is a free rider on any pass over the data, no
+    shuffle beyond the per-source count."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sqrt(F.count("*")) * 1000000).cast("bigint").alias("sqrtm"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.sum("sqrtm").cast("bigint").alias("sq_totalm"),
+    )
+    budget_ppm = _MIX_BUDGET_PCT * 10000
+    rates = per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.expr(
+                f"((sqrtm * 1000000) div sq_totalm)"
+                f" * least((total * {budget_ppm}) div n_docs, 1000000000000)"
+                f" div 1000000"
+            ),
+            F.lit(1000000).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    kept = (
+        hex32_spark(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 1000000
+        < F.col("rate_ppm")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", F.col("n_docs").cast("bigint").alias("n_docs"), "rate_ppm")
+        .agg(F.sum(kept.cast("int")).cast("bigint").alias("n_kept"))
+    )

@@ -51,6 +51,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "decontam_source_overlap_matrix",
     "embedding_centroid_stats",
     "cohort_retention_orders",
+    "mixture_temperature_sample",
+    "dataset_diff_snapshots",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

@@ -295,3 +295,108 @@ def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "k")
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
     )
+
+
+# ---------------------------------------------- snapshot diffing
+
+# Snapshot B derives deterministically from the documents fixture:
+# ~5% of docs deleted, ~10% of survivors edited (text suffix), ~4%
+# re-keyed to +5M as brand-new docs — so all four diff classes fire.
+_DIFF_DEL_MOD = 20
+_DIFF_EDIT_MOD = 10
+_DIFF_ADD_MOD = 25
+_DIFF_ADD_OFFSET = 5_000_000
+
+
+def _diff_gate_duck(prefix: str, mod: int) -> str:
+    return (
+        f"{hex32_duck(chr(39) + prefix + ':' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        f" % {mod} = 0"
+    )
+
+
+def _diff_gate_spark(prefix: str, mod: int) -> F.Column:
+    key = F.concat(F.lit(f"{prefix}:"), F.col("doc_id").cast("string"))
+    return (hex32_spark(key) % mod) == 0
+
+
+@query(
+    "dataset_diff_snapshots",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CASE WHEN {_diff_gate_duck('mod', _DIFF_EDIT_MOD)}
+                    THEN md5(text || ' v2') ELSE md5(text) END AS h
+        FROM documents
+        WHERE NOT {_diff_gate_duck('del', _DIFF_DEL_MOD)}
+        UNION ALL
+        SELECT doc_id + {_DIFF_ADD_OFFSET}, lang, md5(text || ' new')
+        FROM documents
+        WHERE {_diff_gate_duck('add', _DIFF_ADD_MOD)}
+    )
+    SELECT coalesce(a.lang, b.lang) AS lang,
+           CAST(sum(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(sum(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                          AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(sum(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                          AND a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    GROUP BY coalesce(a.lang, b.lang)
+    """,
+)
+def dataset_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff: classify every document across two
+    corpus generations as added / removed / changed / unchanged by
+    key + content hash, rolled up per language — the audit every
+    data-versioning workflow runs before promoting a new crawl (the
+    poor-man's Delta change-data-feed over plain parquet, sibling of
+    schema_evolution_ingest's schema-axis story).
+
+    One FULL OUTER equi-join on doc_id with md5 content comparison;
+    classification is a narrow CASE and the rollup a partial+final
+    aggregate. At 100 TB both snapshots would be written bucketed on
+    doc_id (see join_bucketed_colocated) and this diff becomes a
+    zero-exchange merge join; content hashing rides the scans. The
+    second generation here derives deterministically from the fixture
+    (~5% deleted, ~10% edited, ~4% added under md5-routed gates) so
+    all four classes provably fire on any engine."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", "lang", F.md5("text").alias("h"))
+    b_kept = d.filter(~_diff_gate_spark("del", _DIFF_DEL_MOD)).select(
+        "doc_id",
+        "lang",
+        F.when(
+            _diff_gate_spark("mod", _DIFF_EDIT_MOD),
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    b_added = d.filter(_diff_gate_spark("add", _DIFF_ADD_MOD)).select(
+        (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+        "lang",
+        F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+    )
+    b = b_kept.unionByName(b_added)
+    a2 = a.select(*(F.col(c).alias(f"a_{c}") for c in a.columns))
+    b2 = b.select(*(F.col(c).alias(f"b_{c}") for c in b.columns))
+    j = a2.join(b2, a2["a_doc_id"] == b2["b_doc_id"], "full_outer")
+    in_a = F.col("a_doc_id").isNotNull()
+    in_b = F.col("b_doc_id").isNotNull()
+    flag = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return j.groupBy(
+        F.coalesce("a_lang", "b_lang").alias("lang")
+    ).agg(
+        flag(~in_a).alias("n_added"),
+        flag(~in_b).alias("n_removed"),
+        flag(in_a & in_b & (F.col("a_h") != F.col("b_h"))).alias("n_changed"),
+        flag(in_a & in_b & (F.col("a_h") == F.col("b_h"))).alias("n_unchanged"),
+    )

@@ -196,3 +196,31 @@ def test_cohort_retention_triangle_invariants(spark, sf_dir):
         assert 0 in ks  # the cohort month itself always has its members
         # k=0 counts EVERY cohort member, so it bounds every later month
         assert all(v <= ks[0] for v in ks.values())
+
+
+def test_temperature_sampling_flattens_the_mixture(spark, sf_dir):
+    rows = QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()
+    assert rows
+    by_rate = sorted(rows, key=lambda r: r.n_docs)
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert 0 <= r.n_kept <= r.n_docs
+    # tau = 0.5 must up-weight small sources: keep-rates are
+    # monotonically non-increasing in source size
+    rates = [r.rate_ppm for r in by_rate]
+    for a, b in zip(rates, rates[1:]):
+        assert b <= a
+
+
+def test_dataset_diff_all_classes_fire_and_balance(spark, sf_dir):
+    rows = QUERIES["dataset_diff_snapshots"](spark, sf_dir).collect()
+    assert rows
+    tot = {
+        k: sum(getattr(r, k) for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    assert all(v > 0 for v in tot.values())  # every diff class fires
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # A-side accounting: every original doc is removed, changed, or
+    # unchanged, exactly once
+    assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_docs
