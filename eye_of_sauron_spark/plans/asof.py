@@ -147,3 +147,71 @@ def interval_join_activity_before_error(spark: SparkSession, sf_dir: str) -> Dat
             F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 2).alias("prior_value"),
         )
     )
+
+
+# ------------------------------------------- keyless banded range join
+
+_RJ_WINDOW_S = 60  # pair events within this many seconds, ANY users
+
+
+@query(
+    "range_join_time_buckets",
+    oracle=f"""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b
+      ON a.event_type = 'error' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL {_RJ_WINDOW_S} SECOND
+    """,
+)
+def range_join_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join — every (error, purchase) event pair within
+    60 seconds, across ALL users — planned as a BANDED equi-join:
+    each error maps to its 60-second time bucket, each purchase to
+    its own bucket AND the preceding one (a half-open 60 s window
+    spans at most two buckets), so candidates meet on bucket equality
+    and the exact interval predicate filters after.
+
+    This is the expansion trick a pure range join needs on Spark:
+    with no equi key at all, Catalyst's only native plan is a
+    BroadcastNestedLoopJoin — O(|A| x |B|) comparisons, a
+    100 TB-killer the moment neither side broadcasts. Banding makes
+    candidate volume O(sum over buckets of |A_b| x |B_b±1|) — density
+    -bounded, shuffled on the bucket key, skew-handled by AQE like
+    any hash join. The duplicate-candidate hazard (a pair meeting in
+    both buckets) cannot arise: the error side is emitted ONCE, so
+    each (a, b) meets exactly at a's bucket. The oracle states the
+    same join as a direct theta join — tractable for DuckDB at
+    fixture scale, which is exactly the asymmetry the banded plan
+    exists to fix."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / (_RJ_WINDOW_S * 1_000_000))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        bucket.alias("bk"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.explode(F.array(bucket, bucket - 1)).alias("bk"),
+    )
+    return (
+        errors.join(purchases, "bk")
+        .filter(
+            (F.col("b_ts") >= F.col("a_ts"))
+            & (
+                F.col("b_ts")
+                < F.col("a_ts") + F.expr(f"INTERVAL {_RJ_WINDOW_S} SECONDS")
+            )
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(
+                (F.unix_micros("b_ts") - F.unix_micros("a_ts")) / 1_000_000
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )

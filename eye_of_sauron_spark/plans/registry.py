@@ -53,6 +53,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "cohort_retention_orders",
     "mixture_temperature_sample",
     "dataset_diff_snapshots",
+    "range_join_time_buckets",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

@@ -486,3 +486,15 @@ def test_bigram_lm_two_exchanges(spark, sf_dir):
     # sum + top-k rank) via the partitioning-subset rule
     p = _plan(spark, sf_dir, "text_bigram_lm")
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_keyless_range_join_is_banded_equi(spark, sf_dir):
+    # the 60 s window with NO equi key must plan as a bucket hash join
+    # (band expansion), never the nested-loop Catalyst would pick for
+    # a raw theta join
+    p = _plan(spark, sf_dir, "range_join_time_buckets")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
