@@ -22,7 +22,7 @@ below corpus row width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -383,23 +383,9 @@ _QF_WORDLEN_HI = 5.0
 _QF_MIN_STOPWORDS = 1      # must contain >= 1 stopword token
 _QF_STOPWORDS = ("the", "a")
 
-
-@query(
-    "quality_filter_pipeline",
-    oracle=f"""
-    WITH m AS (
-        SELECT doc_id, source,
-               len({tokens_duck('text')}) AS n_tok,
-               len(list_distinct({tokens_duck('text')})) AS n_distinct,
-               n_chars,
-               list_sum(list_transform({tokens_duck('text')},
-                   t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END))
-                   AS n_stop
-        FROM documents
-    ),
-    gated AS (
-        SELECT doc_id, source, n_tok,
-               CASE
+# The gate CASE, shared verbatim by quality_filter_pipeline and the
+# end-to-end curation pipeline — one definition, no rule drift.
+_QF_GATE_DUCK = f"""CASE
                    WHEN n_tok < {_QF_MIN_TOKENS}
                         OR n_tok > {_QF_MAX_TOKENS} THEN 'length'
                    WHEN 1.0 - n_distinct * 1.0 / n_tok > {_QF_MAX_REP}
@@ -409,7 +395,62 @@ _QF_STOPWORDS = ("the", "a")
                         THEN 'word_length'
                    WHEN n_stop < {_QF_MIN_STOPWORDS} THEN 'stopword'
                    ELSE 'pass'
-               END AS first_fail
+               END"""
+
+_QF_STATS_DUCK = f"""len({tokens_duck('text')}) AS n_tok,
+               len(list_distinct({tokens_duck('text')})) AS n_distinct,
+               n_chars,
+               list_sum(list_transform({tokens_duck('text')},
+                   t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END))
+                   AS n_stop"""
+
+
+def _qf_stats_cols() -> list:
+    """The per-doc token statistics the gate reads (one tokenize)."""
+    ts = tokens_spark(F.col("text"))
+    return [
+        F.col("n_chars"),
+        F.size(ts).alias("n_tok"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(ts, lambda t: t.isin(*_QF_STOPWORDS).cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n_stop"),
+    ]
+
+
+def _qf_first_fail_col() -> Column:
+    """Spark twin of _QF_GATE_DUCK over the _qf_stats_cols columns."""
+    wordlen = (F.col("n_chars") - F.col("n_tok") + 1) * 1.0 / F.col("n_tok")
+    return (
+        F.when(
+            (F.col("n_tok") < _QF_MIN_TOKENS) | (F.col("n_tok") > _QF_MAX_TOKENS),
+            "length",
+        )
+        .when(
+            1.0 - F.col("n_distinct") * F.lit(1.0) / F.col("n_tok") > _QF_MAX_REP,
+            "repetition",
+        )
+        .when(
+            (wordlen < _QF_WORDLEN_LO) | (wordlen > _QF_WORDLEN_HI), "word_length"
+        )
+        .when(F.col("n_stop") < _QF_MIN_STOPWORDS, "stopword")
+        .otherwise("pass")
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               {_QF_STATS_DUCK}
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, source, n_tok,
+               {_QF_GATE_DUCK} AS first_fail
         FROM m
     )
     SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, first_fail,
@@ -433,35 +474,8 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER is part of the operator contract so attrition counts are
     comparable across runs."""
     d = _t(spark, sf_dir, "documents")
-    ts = tokens_spark(F.col("text"))
-    base = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.size(ts).alias("n_tok"),
-        F.size(F.array_distinct(ts)).alias("n_distinct"),
-        F.aggregate(
-            F.transform(ts, lambda t: t.isin(*_QF_STOPWORDS).cast("int")),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("n_stop"),
-    )
-    wordlen = (F.col("n_chars") - F.col("n_tok") + 1) * 1.0 / F.col("n_tok")
-    first_fail = (
-        F.when(
-            (F.col("n_tok") < _QF_MIN_TOKENS) | (F.col("n_tok") > _QF_MAX_TOKENS),
-            "length",
-        )
-        .when(
-            1.0 - F.col("n_distinct") * F.lit(1.0) / F.col("n_tok") > _QF_MAX_REP,
-            "repetition",
-        )
-        .when(
-            (wordlen < _QF_WORDLEN_LO) | (wordlen > _QF_WORDLEN_HI), "word_length"
-        )
-        .when(F.col("n_stop") < _QF_MIN_STOPWORDS, "stopword")
-        .otherwise("pass")
-    )
+    base = d.select("doc_id", "source", *_qf_stats_cols())
+    first_fail = _qf_first_fail_col()
     return base.select(
         "doc_id",
         "source",
@@ -573,4 +587,91 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "source")
         .groupBy("source", F.col("n_docs").cast("bigint").alias("n_docs"), "rate_ppm")
         .agg(F.sum(kept.cast("int")).cast("bigint").alias("n_kept"))
+    )
+
+
+# --------------------------------------------- end-to-end pipeline
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang, text, md5(text) AS h,
+               {_QF_STATS_DUCK}
+        FROM documents
+    ),
+    deduped AS (
+        SELECT *,
+               doc_id = min(doc_id) OVER (PARTITION BY h) AS is_keeper
+        FROM m
+    ),
+    gated AS (
+        SELECT *,
+               {_QF_GATE_DUCK} AS first_fail
+        FROM deduped
+    ),
+    routed AS (
+        SELECT n_tok,
+               CASE
+                   WHEN NOT is_keeper THEN 'dropped_duplicate'
+                   WHEN first_fail <> 'pass' THEN 'dropped_' || first_fail
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT} THEN 'train'
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS status
+        FROM gated
+    )
+    SELECT status,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM routed
+    GROUP BY status
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed query — exact dedup
+    (min-doc_id keeper per content hash), the C4/Gopher quality gate,
+    and deterministic train/val/test routing — with per-status
+    attrition accounting (every document lands in exactly one of
+    dropped_duplicate / dropped_<gate> / train / val / test). The
+    stage RULES are the shared module constants the standalone
+    operators use (_QF_GATE_DUCK, the split bucket expression), so
+    this query proves the operators compose without re-stating any of
+    them: a rule change shows up here and in the standalone query
+    identically or not at all.
+
+    Plan: one exchange total — the content-hash dedup window — then
+    gate + routing are narrow expressions over the same tokenize and
+    the report is a partial+final aggregate over ~8 status keys. The
+    composed pipeline costs no more than exact dedup alone; that IS
+    the argument for running curation as one Spark job over 100 TB
+    instead of materializing between stages."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        *_qf_stats_cols(),
+    )
+    is_keeper = F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h"))
+    bucket = (
+        hex32_spark(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    status = (
+        F.when(~F.col("is_keeper"), "dropped_duplicate")
+        .when(F.col("first_fail") != "pass", F.concat(F.lit("dropped_"), "first_fail"))
+        .when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        base.withColumn("is_keeper", is_keeper)
+        .withColumn("first_fail", _qf_first_fail_col())
+        .withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
     )

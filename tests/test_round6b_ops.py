@@ -224,3 +224,19 @@ def test_dataset_diff_all_classes_fire_and_balance(spark, sf_dir):
     # A-side accounting: every original doc is removed, changed, or
     # unchanged, exactly once
     assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_docs
+
+
+def test_curation_pipeline_accounts_for_every_document(spark, sf_dir):
+    rows = QUERIES["curation_pipeline_e2e"](spark, sf_dir).collect()
+    statuses = {r.status: r for r in rows}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # exact partition: every doc lands in exactly one status
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {"train", "val", "test"} <= set(statuses)
+    for r in rows:
+        assert r.total_tokens >= r.n_docs  # >= 1 token per doc
+    # e2e keeper statuses must agree with the standalone split operator
+    # when the corpus has no dups/failures in a split (coarse check:
+    # train+val+test <= total)
+    kept = sum(statuses[s].n_docs for s in ("train", "val", "test"))
+    assert 0 < kept <= n_docs
