@@ -55,6 +55,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dataset_diff_snapshots",
     "range_join_time_buckets",
     "curation_pipeline_e2e",
+    "kmeans_lloyd_step",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

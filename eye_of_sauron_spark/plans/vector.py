@@ -33,6 +33,8 @@ from ..functions.vector import (
     cosine_spark,
     dot_duck,
     dot_spark,
+    euclid_duck,
+    euclid_spark,
     l2_duck,
     l2_spark,
 )
@@ -784,4 +786,137 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.join(cent, "label").select(
         "label", "n_vecs", "avg_norm_micro", "centroid_micro"
+    )
+
+
+# ------------------------------------------------- k-means (Lloyd step)
+
+_KM_K = 8  # seeds = the k smallest vec_ids (fixed k at every SF)
+
+
+@query(
+    "kmeans_lloyd_step",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS se
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, s.seed_id, e.embedding,
+               CAST(floor({euclid_duck('e.embedding', 's.se')} * 1000000)
+                    AS BIGINT) AS dm
+        FROM embeddings e, seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id, dm, embedding,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dm, seed_id
+               ) AS rn
+        FROM dists
+    ),
+    members AS (
+        SELECT seed_id, dm, embedding FROM assign WHERE rn = 1
+    ),
+    comp AS (
+        SELECT seed_id, CAST(t.i AS INT) AS pos,
+               CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM members, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT seed_id, list(m ORDER BY pos) AS centroid_micro
+        FROM (
+            SELECT seed_id, pos, CAST(sum(vm) AS BIGINT) // count(*) AS m
+            FROM comp GROUP BY seed_id, pos
+        ) GROUP BY seed_id
+    ),
+    stats AS (
+        SELECT seed_id, count(*) AS n_members,
+               CAST(sum(dm) AS BIGINT) AS inertia_micro
+        FROM members GROUP BY seed_id
+    )
+    SELECT s.seed_id AS cluster_id, s.n_members, s.inertia_micro,
+           c.centroid_micro
+    FROM stats s JOIN cent c ON c.seed_id = s.seed_id
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus —
+    assign every vector to its nearest of k=8 deterministic seed
+    centroids (the k smallest vec_ids), then recompute each cluster's
+    centroid and inertia. This is the update step behind every IVF
+    coarse quantizer (similarity_topk_ivf consumes exactly such
+    centroids); iterating it is k-means training at corpus scale.
+
+    Assignment is a broadcast of k seed vectors against a streaming
+    corpus scan (per-row euclid folds, deterministic array-order
+    arithmetic) collapsed by a partial-aggregating ``min_by`` on the
+    integer-quantized (distance, seed) key — one exchange on vec_id
+    worth of candidates never materializes because the map side keeps
+    only each vector's best seed. Distances are micro-quantized
+    BIGINTs BEFORE any cross-row op, and the centroid recompute is
+    the dimension-parallel (cluster, pos) integer aggregate of
+    embedding_centroid_stats — so assignment, inertia, and centroids
+    all hash bit-identically (the assignment argmin would otherwise
+    ride on cross-engine float ULPs). Inertia stays in BIGINT to
+    ~9e12 distance units — per-CLUSTER, so sharding the sum never
+    overflows before the cluster itself is absurd."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")
+    )
+    dm = (
+        F.floor(euclid_spark(F.col("embedding"), F.col("se")) * 1000000)
+        .cast("bigint")
+        .alias("dm")
+    )
+    dists = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", "embedding", dm
+    )
+    members = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("seed_id", "dm", "embedding"),
+                # max_by of the NEGATED key == min_by with (dm, seed_id)
+                # tie-break; struct asc ordering via negation keeps the
+                # whole thing one aggregate
+                F.struct((-F.col("dm")).alias("nd"), (-F.col("seed_id")).alias("ns")),
+            ).alias("m")
+        )
+        .select(
+            F.col("m.seed_id").alias("seed_id"),
+            F.col("m.dm").alias("dm"),
+            F.col("m.embedding").alias("embedding"),
+        )
+    )
+    comp = members.select(
+        "seed_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "seed_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    cent = (
+        comp.groupBy("seed_id", "pos")
+        .agg(F.expr("sum(vm) div count(*)").alias("m"))
+        .groupBy("seed_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid_micro")
+        )
+    )
+    stats = members.groupBy("seed_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dm").cast("bigint").alias("inertia_micro"),
+    )
+    return stats.join(cent, "seed_id").select(
+        F.col("seed_id").alias("cluster_id"),
+        "n_members",
+        "inertia_micro",
+        "centroid_micro",
     )

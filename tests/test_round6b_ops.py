@@ -240,3 +240,14 @@ def test_curation_pipeline_accounts_for_every_document(spark, sf_dir):
     # train+val+test <= total)
     kept = sum(statuses[s].n_docs for s in ("train", "val", "test"))
     assert 0 < kept <= n_docs
+
+
+def test_kmeans_step_partitions_the_corpus(spark, sf_dir):
+    rows = QUERIES["kmeans_lloyd_step"](spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs  # exact partition
+    assert len(rows) <= 8 and rows
+    for r in rows:
+        assert len(r.centroid_micro) == 64
+        assert r.inertia_micro >= 0
+        assert 0 <= r.cluster_id < 8
