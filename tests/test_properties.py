@@ -256,3 +256,70 @@ def test_funnel_matches_ordered_reachability_simulation(spark_global, histories)
         for r in funnel_counts(spark_global.createDataFrame(rows)).collect()
     }
     assert got == {"1_view": nv, "2_click": nc, "3_purchase": np_}
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # key
+            st.integers(min_value=0, max_value=50),   # ts offset (seconds)
+            st.booleans(),                            # tombstone?
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=5, deadline=None)
+def test_cdc_merge_matches_lww_dict(spark_global, ops, n_batches):
+    """Fold random op sequences through the incremental CDC merge in
+    arbitrary batch splits (including ts ties broken by event_id and
+    tombstone interleavings) and compare the final snapshot against a
+    one-pass last-writer-wins dict — the replay only exercises
+    time-ordered batches; this drives the merge rule itself."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.streaming.replay import (
+        _cdc_compact_batch,
+        _cdc_merge,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            k,
+            "error" if tomb else "set",
+            val,
+            base + datetime.timedelta(seconds=ts),
+            eid,
+        )
+        for eid, (k, ts, tomb, val) in enumerate(ops)
+    ]
+    schema = "user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP, event_id LONG"
+    # deterministic batch split: round-robin by event_id
+    cur = None
+    for b in range(n_batches):
+        batch_rows = [r for r in rows if r[4] % n_batches == b]
+        if not batch_rows:
+            continue
+        inc = _cdc_compact_batch(spark_global.createDataFrame(batch_rows, schema))
+        cur = _cdc_merge(cur, inc) if cur is not None else inc
+    got = {
+        r.user_id: (r.event_type, r.ts, r.event_id, r.n_ops)
+        for r in cur.collect()
+    }
+    # reference: one-pass LWW on (ts, event_id)
+    want: dict = {}
+    counts: dict = {}
+    for k, et, val, ts, eid in rows:
+        counts[k] = counts.get(k, 0) + 1
+        if k not in want or (ts, eid) > (want[k][1], want[k][2]):
+            want[k] = (et, ts, eid)
+    assert set(got) == set(want)
+    for k in want:
+        et, ts, eid = want[k]
+        assert got[k][0] == et and got[k][1] == ts and got[k][2] == eid
+        assert got[k][3] == counts[k]
