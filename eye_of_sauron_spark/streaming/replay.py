@@ -1238,3 +1238,97 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+# --------------------------------------------- stateful funnel
+
+_FUN_BATCHES = 8
+
+# The batch funnel's ordered-reachability counts, reach-only (the
+# streaming operator emits each user's stage completions exactly
+# once, so per-stage emission counts == the batch reach sums).
+_FUNNEL_REPLAY_ORACLE = """
+    WITH v AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+                   AS seen_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND seen_view = 1
+                    THEN 1 ELSE 0 END AS click_ok,
+               max(CASE WHEN event_type = 'click' AND seen_view = 1
+                        THEN 1 ELSE 0 END) OVER w AS seen_click
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    reach AS (
+        SELECT user_id,
+               max(seen_view) AS r1,
+               max(click_ok) AS r2,
+               max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                        THEN 1 ELSE 0 END) AS r3
+        FROM c GROUP BY user_id
+    )
+    SELECT '1_view' AS stage, CAST(sum(r1) AS BIGINT) AS n_users FROM reach
+    UNION ALL
+    SELECT '2_click', CAST(sum(r2) AS BIGINT) FROM reach
+    UNION ALL
+    SELECT '3_purchase', CAST(sum(r3) AS BIGINT) FROM reach
+"""
+
+
+@query("stream_funnel_replay", oracle=_FUNNEL_REPLAY_ORACLE)
+def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel through REAL streaming state: events
+    replay as 8 ordered micro-batches into a per-user 3-bit
+    applyInPandasWithState machine that emits each stage completion
+    exactly once, the first time the user's ordered subsequence
+    reaches it — and the per-stage emission counts must equal the
+    batch funnel's chained-window reach sums (the oracle). What this
+    checks that the batch funnel row (funnel_view_click_purchase)
+    cannot: stage progress held in the state store SURVIVES across
+    micro-batch boundaries (a view in batch 1 must license a click in
+    batch 6), duplicate emissions are structurally impossible, and
+    the in-batch (ts, event_id) sort inside the operator reproduces
+    the windows' total order.
+
+    Scale shape: 3 ints of state per user forever (no growth with
+    stream length), one shuffle on user_id, <= 3 output rows per user
+    ever — the cheapest possible stateful operator, and the streaming
+    form of the reference's first-match state machine
+    (src/prediction_producer.py:321-323)."""
+    from .funnel import funnel_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="funnel_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _FUN_BATCHES), "batch", _FUN_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
+    )
+    try:
+        with _scoped_shuffle(spark, _FUN_BATCHES):
+            emitted = run_to_memory(
+                funnel_stream(stream),
+                f"funnel_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stages = spark.createDataFrame(
+        [("1_view",), ("2_click",), ("3_purchase",)], "stage STRING"
+    )
+    counts = emitted.groupBy("stage").agg(F.count("*").alias("n"))
+    return stages.join(counts, "stage", "left").select(
+        "stage", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_users")
+    )

@@ -251,3 +251,16 @@ def test_kmeans_step_partitions_the_corpus(spark, sf_dir):
         assert len(r.centroid_micro) == 64
         assert r.inertia_micro >= 0
         assert 0 <= r.cluster_id < 8
+
+
+def test_stream_funnel_matches_batch_funnel(spark, sf_dir):
+    stream = {
+        r.stage: r.n_users
+        for r in QUERIES["stream_funnel_replay"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.stage: r.n_users
+        for r in QUERIES["funnel_view_click_purchase"](spark, sf_dir).collect()
+    }
+    assert stream == batch  # state across micro-batches == windows
+    assert stream["1_view"] >= stream["2_click"] >= stream["3_purchase"]
