@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     skew,
     storage,
     textual,
+    timeseries,
     vector,
     warehouse,
     window,

@@ -264,3 +264,26 @@ def test_stream_funnel_matches_batch_funnel(spark, sf_dir):
     }
     assert stream == batch  # state across micro-batches == windows
     assert stream["1_view"] >= stream["2_click"] >= stream["3_purchase"]
+
+
+def test_gap_fill_series_is_dense_and_locf(spark, sf_dir):
+    import datetime
+
+    rows = QUERIES["timeseries_gap_fill"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    hour = datetime.timedelta(hours=1)
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r.h)
+        # dense: consecutive rows exactly one hour apart, no gaps
+        for a, b in zip(vs, vs[1:]):
+            assert b.h - a.h == hour
+        # boundary hours contain real activity by construction
+        assert vs[0].n_events > 0 and vs[-1].n_events > 0
+        last = None
+        for r in vs:
+            if r.n_events == 0:
+                assert r.ff_cents == last  # LOCF holds through gaps
+            last = r.ff_cents
