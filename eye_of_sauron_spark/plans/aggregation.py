@@ -300,3 +300,125 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("approx_pcts", F.lit(3)).alias("p99"),
         "n_events",
     )
+
+
+# ---------------------------------------------- market-basket mining
+
+_MB_TOPK = 20
+_MB_BASKET_CAP = 64  # degree cap: a basket wider than this is boilerplate
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    capped AS (
+        SELECT parts FROM baskets
+        WHERE len(parts) BETWEEN 2 AND {_MB_BASKET_CAP}
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders FROM baskets
+    ),
+    singles AS (
+        SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.a AS pa, b.b AS pb
+        FROM capped, unnest(parts) AS a(a), unnest(parts) AS b(b)
+        WHERE a.a < b.b
+    ),
+    pc AS (
+        SELECT pa, pb, CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM pairs GROUP BY pa, pb
+    ),
+    scored AS (
+        SELECT pa, pb, pair_cnt,
+               (pair_cnt * 1000000) // n_orders AS support_ppm,
+               (((pair_cnt * 1000000) // sa.cnt) * n_orders) // sb.cnt
+                   AS lift_ppm,
+               row_number() OVER (
+                   ORDER BY pair_cnt DESC, pa, pb
+               ) AS rank
+        FROM pc, tot
+        JOIN singles sa ON sa.part = pc.pa
+        JOIN singles sb ON sb.part = pc.pb
+    )
+    SELECT CAST(rank AS INT) AS rank, pa AS part_a, pb AS part_b,
+           pair_cnt, support_ppm, lift_ppm
+    FROM scored WHERE rank <= {_MB_TOPK}
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: the
+    top-20 part pairs most frequently ordered together, with integer-
+    ppm support (pair frequency over all orders) and lift
+    (co-occurrence vs independence) — frequent-itemset analytics, the
+    purchase-domain sibling of the n-gram co-occurrence operators.
+
+    Same join-free inverted-index shape as ngram dedup: baskets are
+    sorted distinct-part lists (one hash aggregate), in-array pair
+    expansion bounded by the basket-width cap [2, 64] (a wider basket
+    is boilerplate, the stop-shingle case again), then one pair count
+    aggregate; the per-part counts and order total join back only on
+    the already-aggregated TOP pair relation. Lift is staged integer
+    arithmetic — (pair*1e6 div cnt_a) <= 1e6, times n_orders <= 1e12
+    clamps under 2^63 — so both engines hash bit-identically at any
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    tot = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    singles = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("cnt")
+    )
+    capped = baskets.filter(F.size("parts").between(2, _MB_BASKET_CAP))
+    pairs = capped.select(
+        "parts", F.posexplode("parts").alias("i", "pa")
+    ).select(
+        "pa", F.explode(F.slice("parts", F.col("i") + 2, F.size("parts"))).alias("pb")
+    )
+    pc = pairs.groupBy("pa", "pb").agg(F.count("*").cast("bigint").alias("pair_cnt"))
+    sa = singles.select(F.col("part").alias("pa"), F.col("cnt").alias("cnt_a"))
+    sb = singles.select(F.col("part").alias("pb"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pc.join(F.broadcast(tot))
+        .join(sa, "pa")
+        .join(sb, "pb")
+        .select(
+            "pa",
+            "pb",
+            "pair_cnt",
+            F.expr("(pair_cnt * 1000000) div n_orders").alias("support_ppm"),
+            F.expr(
+                "(((pair_cnt * 1000000) div cnt_a) * n_orders) div cnt_b"
+            ).alias("lift_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    # TakeOrdered cut FIRST (never a global sort of the pair relation);
+    # the rank window then runs on the 20-row result, where its
+    # single-partition execution is the point, not a bottleneck
+    top = scored.orderBy(
+        F.col("pair_cnt").desc(), F.col("pa"), F.col("pb")
+    ).limit(_MB_TOPK)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("pair_cnt").desc(), F.col("pa"), F.col("pb"))
+        ),
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "pair_cnt",
+        "support_ppm",
+        "lift_ppm",
+    )

@@ -287,3 +287,15 @@ def test_gap_fill_series_is_dense_and_locf(spark, sf_dir):
             if r.n_events == 0:
                 assert r.ff_cents == last  # LOCF holds through gaps
             last = r.ff_cents
+
+
+def test_market_basket_metrics_consistent(spark, sf_dir):
+    rows = QUERIES["market_basket_part_pairs"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    counts = [r.pair_cnt for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.pair_cnt >= 1
+        assert 0 < r.support_ppm <= 1_000_000
+        assert r.lift_ppm > 0
