@@ -59,6 +59,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_funnel_replay",
     "timeseries_gap_fill",
     "market_basket_part_pairs",
+    "graph_triangle_census",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

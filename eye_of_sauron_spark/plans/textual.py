@@ -773,3 +773,144 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(cond_ppm) div count(*)").alias("score_ppm"),
         )
     )
+
+
+# --------------------------------------------- triangle census
+
+_TRI_DEG_CAP = 64
+
+
+@query(
+    "graph_triangle_census",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT lang, w1, w2 FROM {bigrams_duck_from('documents', 'lang')} b
+    ),
+    und AS (
+        SELECT DISTINCT lang,
+               least(w1, w2) AS a, greatest(w1, w2) AS b
+        FROM pairs WHERE w1 <> w2
+    ),
+    deg AS (
+        SELECT lang, node, count(*) AS d FROM (
+            SELECT lang, a AS node FROM und
+            UNION ALL SELECT lang, b FROM und
+        ) GROUP BY lang, node
+    ),
+    kept AS (
+        SELECT u.lang, u.a, u.b
+        FROM und u
+        JOIN deg da ON da.lang = u.lang AND da.node = u.a
+        JOIN deg db ON db.lang = u.lang AND db.node = u.b
+        WHERE da.d <= {_TRI_DEG_CAP} AND db.d <= {_TRI_DEG_CAP}
+    ),
+    wedges AS (
+        SELECT e1.lang, e1.a, e1.b, e2.b AS c
+        FROM kept e1 JOIN kept e2 ON e2.lang = e1.lang AND e2.a = e1.b
+    ),
+    tri AS (
+        SELECT w.lang, count(*) AS n_triangles
+        FROM wedges w
+        JOIN kept e3 ON e3.lang = w.lang AND e3.a = w.a AND e3.b = w.c
+        GROUP BY w.lang
+    ),
+    wcount AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_wedges FROM wedges
+        GROUP BY lang
+    ),
+    ecount AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_edges FROM kept
+        GROUP BY lang
+    )
+    SELECT e.lang, e.n_edges, w.n_wedges,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           (CAST(coalesce(t.n_triangles, 0) AS BIGINT) * 3000000)
+               // w.n_wedges AS closure_ppm
+    FROM ecount e
+    JOIN wcount w ON w.lang = e.lang
+    LEFT JOIN tri t ON t.lang = e.lang
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language triangle census of the bigram co-occurrence graph
+    — edge/wedge/triangle counts and the global clustering
+    coefficient (3 x triangles / wedges, integer ppm) — the third
+    graph primitive after connected components and PageRank, and the
+    density diagnostic that tells you whether a token graph is
+    hub-dominated boilerplate or genuinely clustered phrasing.
+
+    Standard two-join triangle enumeration with the degree cap the
+    ngram family uses everywhere: hub nodes (degree > 64 — stop-token
+    territory) are dropped BEFORE wedge expansion, bounding candidate
+    wedges at cap x edges instead of sum-of-degrees-squared; each
+    ordered triangle (a < b < c) is counted exactly once by keeping
+    edges canonically ordered, so the wedge join (e1.b = e2.a) and
+    the closing equi-join cannot double-count. Both joins are plain
+    equi-joins on (lang, node) keys — shuffled, AQE-skew-handled,
+    never a cartesian."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select("lang", F.explode(bigrams_spark(F.col("text"))).alias("p")).select(
+        "lang", "p.w1", "p.w2"
+    )
+    und = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            "lang",
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select("lang", F.col("a").alias("node"))
+        .unionAll(und.select("lang", F.col("b").alias("node")))
+        .groupBy("lang", "node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(
+        F.col("lang").alias("la"), F.col("node").alias("a"), F.col("deg").alias("dg_a")
+    )
+    db = deg.select(
+        F.col("lang").alias("lb"), F.col("node").alias("b"), F.col("deg").alias("dg_b")
+    )
+    kept = (
+        und.join(da, (und["lang"] == da["la"]) & (und["a"] == da["a"]))
+        .join(db, (und["lang"] == db["lb"]) & (und["b"] == db["b"]))
+        .filter((F.col("dg_a") <= _TRI_DEG_CAP) & (F.col("dg_b") <= _TRI_DEG_CAP))
+        .select(und["lang"], und["a"], und["b"])
+        .localCheckpoint(eager=True)
+    )
+    e2 = kept.select(
+        F.col("lang").alias("l2"), F.col("a").alias("m"), F.col("b").alias("c")
+    )
+    wedges = kept.join(
+        e2, (kept["lang"] == e2["l2"]) & (kept["b"] == e2["m"])
+    ).select("lang", "a", "b", "c")
+    e3 = kept.select(
+        F.col("lang").alias("l3"), F.col("a").alias("ta"), F.col("b").alias("tc")
+    )
+    tri = (
+        wedges.join(
+            e3,
+            (wedges["lang"] == e3["l3"])
+            & (wedges["a"] == e3["ta"])
+            & (wedges["c"] == e3["tc"]),
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wcount = wedges.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_wedges"))
+    ecount = kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        ecount.join(wcount, "lang")
+        .join(tri, "lang", "left")
+        .select(
+            "lang",
+            "n_edges",
+            "n_wedges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "(coalesce(n_triangles, 0L) * 3000000) div n_wedges"
+            ).alias("closure_ppm"),
+        )
+    )

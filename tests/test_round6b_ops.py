@@ -299,3 +299,14 @@ def test_market_basket_metrics_consistent(spark, sf_dir):
         assert r.pair_cnt >= 1
         assert 0 < r.support_ppm <= 1_000_000
         assert r.lift_ppm > 0
+
+
+def test_triangle_census_bounds(spark, sf_dir):
+    rows = QUERIES["graph_triangle_census"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_edges > 0 and r.n_wedges >= 0
+        assert 0 <= r.n_triangles
+        # each triangle contains exactly 3 wedges: closure <= 1
+        assert 0 <= r.closure_ppm <= 1_000_000
+        assert r.n_triangles * 3 <= r.n_wedges or r.n_wedges == 0
