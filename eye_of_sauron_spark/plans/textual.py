@@ -814,9 +814,15 @@ _TRI_DEG_CAP = 64
         JOIN kept e3 ON e3.lang = w.lang AND e3.a = w.a AND e3.b = w.c
         GROUP BY w.lang
     ),
+    kdeg AS (
+        SELECT lang, node, count(*) AS d FROM (
+            SELECT lang, a AS node FROM kept
+            UNION ALL SELECT lang, b FROM kept
+        ) GROUP BY lang, node
+    ),
     wcount AS (
-        SELECT lang, CAST(count(*) AS BIGINT) AS n_wedges FROM wedges
-        GROUP BY lang
+        SELECT lang, CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM kdeg GROUP BY lang
     ),
     ecount AS (
         SELECT lang, CAST(count(*) AS BIGINT) AS n_edges FROM kept
@@ -833,8 +839,10 @@ _TRI_DEG_CAP = 64
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language triangle census of the bigram co-occurrence graph
-    — edge/wedge/triangle counts and the global clustering
-    coefficient (3 x triangles / wedges, integer ppm) — the third
+    — edge/wedge/triangle counts (wedges = sum of C(deg, 2)
+    over the capped graph) and the global clustering coefficient
+    (3 x triangles / wedges, integer ppm — bounded by 1 since every
+    triangle contains exactly 3 wedges) — the third
     graph primitive after connected components and PageRank, and the
     density diagnostic that tells you whether a token graph is
     hub-dominated boilerplate or genuinely clustered phrasing.
@@ -899,7 +907,15 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_triangles"))
     )
-    wcount = wedges.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_wedges"))
+    kdeg = (
+        kept.select("lang", F.col("a").alias("node"))
+        .unionAll(kept.select("lang", F.col("b").alias("node")))
+        .groupBy("lang", "node")
+        .agg(F.count("*").alias("d"))
+    )
+    wcount = kdeg.groupBy("lang").agg(
+        F.expr("sum(d * (d - 1) div 2)").cast("bigint").alias("n_wedges")
+    )
     ecount = kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
         ecount.join(wcount, "lang")
