@@ -60,6 +60,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "timeseries_gap_fill",
     "market_basket_part_pairs",
     "graph_triangle_census",
+    "pca_power_iteration",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).

@@ -920,3 +920,144 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia_micro",
         "centroid_micro",
     )
+
+
+# --------------------------------------- PCA via power iteration
+
+_PCA_ITERS = 3
+_PCA_DOWNSCALE = 10**9  # per-row contribution quantum (see docstring)
+
+
+def _pca_iter_duck(k: int) -> str:
+    """One unrolled power-iteration round: scores per vector against
+    v{k-1}, per-dimension accumulation, double-precision norm over the
+    ordered 64-vector, fixed-point renormalize back to micro units."""
+    return f"""
+    s{k} AS (
+        SELECT x.vec_id,
+               CAST(sum(x.xm * v.v) AS BIGINT) // 1000000 AS sq
+        FROM xm x JOIN v{k - 1} v ON v.pos = x.pos
+        GROUP BY x.vec_id
+    ),
+    u{k} AS (
+        SELECT x.pos,
+               CAST(sum((x.xm * s.sq) // {_PCA_DOWNSCALE}) AS BIGINT) AS u
+        FROM xm x JOIN s{k} s ON s.vec_id = x.vec_id
+        GROUP BY x.pos
+    ),
+    n{k} AS (
+        SELECT sqrt(list_sum(list_transform(
+                   list(CAST(u AS DOUBLE) ORDER BY pos),
+                   z -> z * z))) AS nrm
+        FROM u{k}
+    ),
+    v{k} AS (
+        SELECT u.pos,
+               CAST(floor(CAST(u.u AS DOUBLE) * 1000000 / n.nrm + 0.5)
+                    AS BIGINT) AS v
+        FROM u{k} u, n{k} n
+    )"""
+
+
+_PCA_ORACLE = (
+    f"""
+    WITH xm AS (
+        SELECT vec_id, CAST(t.i AS INT) AS pos,
+               CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    v0 AS (
+        SELECT CAST(t.i AS INT) AS pos, CAST(125000 AS BIGINT) AS v
+        FROM (SELECT 1) _x, unnest(range(1, 65)) AS t(i)
+    ),"""
+    + ",".join(_pca_iter_duck(k) for k in range(1, _PCA_ITERS + 1))
+    + f"""
+    SELECT pos, v AS loading_micro FROM v{_PCA_ITERS}
+    """
+)
+
+
+@query("pca_power_iteration", oracle=_PCA_ORACLE)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by MATRIX-FREE
+    power iteration (3 rounds of v <- normalize(X^T (X v)), uncentered)
+    — distributed numerical linear algebra without ever materializing
+    the 64x64 Gram matrix, the workhorse behind PCA whitening, spectral
+    embedding hashing, and eigencentrality.
+
+    Every cross-row reduction is BIGINT fixed-point: components
+    quantize once to micro-units (floor(x*1e6+0.5), per-row exact);
+    per-vector scores fold those against the current micro-unit v and
+    rescale (div 1e6, bounded 64 * 5.3e5 * 1e6 ~ 3.4e13); per-dimension
+    accumulation divides each row's contribution by 1e9 BEFORE summing,
+    so a 10^14-row corpus stays under 2^63 at the cost of <= 1
+    nano-unit truncation per row — a defined loss both engines share,
+    not float drift. Only the per-round normalization touches doubles,
+    over exactly 64 values folded in pos order (IEEE-identical on both
+    engines), so three chained rounds hash bit-for-bit. The start
+    vector is uniform 0.125 (unit-ish for dim 64).
+
+    Scale shape per round: one narrow score pass (broadcast of the
+    1-row v against the corpus would be ideal; here the xm relation is
+    joined on pos/vec_id — dimension-parallel both ways, 64-key and
+    n-key exchanges with map-side combine), then a 64-row
+    re-normalization. Nothing is ever driver-collected; v rides a
+    1-row broadcast DataFrame, localCheckpointed per round like the
+    CC and TextRank loops."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("em"),
+    ).localCheckpoint(eager=True)
+    # v as a 1-row array DF (micro units); start = uniform 0.125
+    v_df = spark.range(1).select(
+        F.array(*[F.lit(125000).cast("bigint") for _ in range(_DIM)]).alias("varr")
+    )
+    for _ in range(_PCA_ITERS):
+        scored = base.crossJoin(F.broadcast(v_df)).select(
+            "em",
+            F.aggregate(
+                F.zip_with("em", "varr", lambda x, v: x * v),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ).alias("s_raw"),
+        ).select("em", F.expr("s_raw div 1000000").alias("sq"))
+        u = (
+            scored.select(F.posexplode("em").alias("pos", "xm"), "sq")
+            .groupBy("pos")
+            .agg(
+                F.sum(F.expr(f"(xm * sq) div {_PCA_DOWNSCALE}"))
+                .cast("bigint")
+                .alias("u")
+            )
+        )
+        uarr = u.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "u"))),
+                lambda s: s["u"],
+            ).alias("uarr")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("uarr", lambda z: z.cast("double") * z.cast("double")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        v_df = uarr.select(
+            F.transform(
+                "uarr",
+                lambda z: F.floor(
+                    z.cast("double") * 1000000 / nrm + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("varr")
+        ).localCheckpoint(eager=True)
+    return v_df.select(
+        F.posexplode("varr").alias("pos0", "loading_micro")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "loading_micro")
