@@ -61,6 +61,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "market_basket_part_pairs",
     "graph_triangle_census",
     "pca_power_iteration",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    "stream_left_join_replay",
     # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
     # these three were last driver-checked (r04) — fresh rows convert
     # "green-but-stale" into green (VERDICT r05 #1).
@@ -71,9 +74,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # join key) — need post-change driver rows
     "dedup_ngram_jaccard",
     "similarity_topk_lsh",
-    # model-UDF pipelines, last checked r04
-    "ml_face_pipeline",
+    # model-UDF pipelines, last checked r04 (face pipeline is a
+    # rows-only driver check — weakest signal, strong pytest — so it
+    # yields its top-50 slot to the exact-hash restart replay)
     "ml_match_first_target",
+    "stream_restart_replay",
     # modified or first registered this round (r06) — need evidence
     "funnel_view_click_purchase",
     "quality_filter_pipeline",
@@ -95,12 +100,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "dedup_substring_spans",
     "mixture_cap_per_source",
-    "stream_restart_replay",
+    "ml_face_pipeline",
     "jsonl_roundtrip_ingest",
     "csv_roundtrip_ingest",
-    "join_bucketed_colocated",
-    "join_salted_skew",
-    "stream_left_join_replay",
     # remaining r04-evidence block (all other registered queries were
     # checked in r05): dedup/text/windows/joins/relational/streaming
     "dedup_exact",
