@@ -7,7 +7,9 @@ from . import (  # noqa: F401
     decontam,
     dedup,
     grouped,
+    preference,
     relational,
+    robust,
     scalar,
     skew,
     storage,

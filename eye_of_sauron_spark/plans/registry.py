@@ -41,6 +41,13 @@ _REGISTRY: dict[str, Query] = {}
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
     # registered this session, never driver-checked — need first rows
+    "skyline_pareto_orders",
+    "winsorize_values_by_type",
+    "anomaly_zscore_events",
+    "timeseries_ohlc_resample",
+    "event_sequence_trigrams",
+    "text_char_diversity",
+    "window_percent_rank_acctbal",
     "cdc_latest_snapshot",
     "scd2_merge_customers",
     "text_bigram_lm",

@@ -1,0 +1,173 @@
+"""Robust statistics: winsorization and z-score anomaly detection.
+
+Outlier handling is the data-cleaning stage every metrics/training
+pipeline runs before aggregation: clip the tails (winsorize) or flag
+the points far from the per-group mean (z-score). Both are built to
+hash bit-identically against the DuckDB oracle:
+
+- winsorization picks the value AT an integer rank (rank-based
+  percentile, no interpolation) so the clip bounds are exact data
+  values, not floats;
+- the z-score test |x - mu| > 2*sigma is algebraized to the
+  all-integer comparison (n*x - S)^2 > 4*(n*Q - S^2) with S = sum(x),
+  Q = sum(x^2) in cents, so no float mean/stddev ever materializes.
+  The squares run in DECIMAL(38,0) / HUGEINT — at 100 TB group sizes
+  the int64 square would overflow, the 38-digit square cannot.
+
+Scale notes: winsorize is ONE shuffle on the group key (row_number +
+count + bound extraction are windows over the same partitioning, so
+Catalyst plans a single exchange); the z-score pass is a partial-agg
+groupBy (map-side combine) whose per-group moments are a constant-size
+struct, then a broadcast join back — the same two-pass shape as any
+mean/variance normalization at scale. No window over an unpartitioned
+ordering anywhere.
+
+Reference parity: the reference hard-codes tolerance thresholds on
+match distance (src/prediction_producer.py:112-118, face distance
+<= 0.6); these operators are that thresholding made statistical,
+per-group, and exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.money import cents_duck, cents_spark
+from ..sources import load_table
+from .registry import query
+
+# winsorize at the 5th / 95th rank-percentile
+_LO_PCT = 5
+_HI_PCT = 95
+
+
+@query(
+    "winsorize_values_by_type",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, event_type,
+               {cents_duck('value')} AS v_c,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {cents_duck('value')}, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    k AS (
+        SELECT *,
+               CAST(floor(({_LO_PCT} * n + 99) / 100) AS BIGINT) AS k_lo,
+               CAST(floor(({_HI_PCT} * n + 99) / 100) AS BIGINT) AS k_hi
+        FROM x
+    ),
+    b AS (
+        SELECT *,
+               max(CASE WHEN rn = k_lo THEN v_c END)
+                   OVER (PARTITION BY event_type) AS lo_c,
+               max(CASE WHEN rn = k_hi THEN v_c END)
+                   OVER (PARTITION BY event_type) AS hi_c
+        FROM k
+    )
+    SELECT event_id, event_type, v_c AS value_cents,
+           least(greatest(v_c, lo_c), hi_c) AS clipped_cents
+    FROM b
+    """,
+)
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization: values below the 5th / above the
+    95th rank-percentile are clipped to the value AT that rank
+    (k = ceil(p*n/100), ties broken by event_id — exact data values,
+    no interpolation, so the result hashes). All three windows share
+    the event_type partitioning: one exchange total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents_spark(F.col("value")).alias("v_c")
+    )
+    w_ord = W.partitionBy("event_type").orderBy("v_c", "event_id")
+    w_all = W.partitionBy("event_type")
+    n = F.count("*").over(w_all)
+    rn = F.row_number().over(w_ord)
+    # integer ceil(p*n/100); operands < 2^53 so the double div is exact
+    k_lo = F.floor((F.lit(_LO_PCT) * n + 99) / 100).cast("bigint")
+    k_hi = F.floor((F.lit(_HI_PCT) * n + 99) / 100).cast("bigint")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "v_c",
+        rn.alias("rn"),
+        k_lo.alias("k_lo"),
+        k_hi.alias("k_hi"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("v_c"))).over(w_all)
+    hi = F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("v_c"))).over(w_all)
+    return ranked.select(
+        "event_id",
+        "event_type",
+        F.col("v_c").alias("value_cents"),
+        F.least(F.greatest(F.col("v_c"), lo), hi).alias("clipped_cents"),
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type, {cents_duck('value')} AS v_c FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(v_c) AS s,
+               sum(v_c * v_c) AS q
+        FROM x GROUP BY event_type
+    ),
+    f AS (
+        SELECT x.event_type,
+               CAST(m.n * x.v_c - m.s AS HUGEINT) AS dev_n,
+               CAST(4 AS HUGEINT) * (CAST(m.n AS HUGEINT) * CAST(m.q AS HUGEINT)
+                   - CAST(m.s AS HUGEINT) * CAST(m.s AS HUGEINT)) AS var4_n2,
+               m.n AS n
+        FROM x JOIN m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN dev_n * dev_n > var4_n2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM f GROUP BY event_type
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per-event-type 2-sigma outliers with zero float
+    arithmetic: |x - mu| > 2*sigma multiplied through by n^2 becomes
+    (n*x - S)^2 > 4*(n*Q - S^2) over integer cents moments, squared in
+    DECIMAL(38,0) (HUGEINT on the oracle side) so billion-row groups
+    cannot overflow. Plan: one map-combined groupBy for (n, S, Q), a
+    broadcast of the tiny moments table back onto the scan, then a
+    second map-combined groupBy — no window, no sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents_spark(F.col("value")).alias("v_c")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("q"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev_n = (big("n") * big("v_c") - big("s")).cast("decimal(38,0)")
+    var4_n2 = (F.lit(4).cast("decimal(38,0)") * (big("n") * big("q") - big("s") * big("s"))).cast(
+        "decimal(38,0)"
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("n"),
+            (dev_n * dev_n > var4_n2).cast("int").alias("is_anom"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_total"),
+            F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+        )
+    )

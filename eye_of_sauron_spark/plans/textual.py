@@ -930,3 +930,51 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_ppm"),
         )
     )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ) WHERE c <> ''
+        GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars_tot,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(floor(1000000.0 * sum(cnt * cnt) / (sum(cnt) * sum(cnt)))
+                AS BIGINT) AS simpson_ppm
+    FROM ch GROUP BY doc_id
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-collision diversity (Simpson index, ppm): the
+    probability two random characters of a document coincide —
+    sum(cnt^2)/total^2 — a log-free repetitiveness/quality signal
+    (gibberish and run-on repetition score high, natural prose low)
+    that stays in integer counts until one exact final division, so
+    it hashes across engines where an entropy (log) variant would
+    drift in the last ulp. Plan: explode chars (narrow), two
+    map-combined groupBys keyed by (doc, char) then doc — the same
+    partial-agg ladder as a word count; no window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("c"),
+    )
+    per_char = chars.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    return per_char.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_tot"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.col("cnt") * F.col("cnt"))
+            / (F.sum("cnt") * F.sum("cnt"))
+        )
+        .cast("bigint")
+        .alias("simpson_ppm"),
+    )

@@ -103,3 +103,81 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("cents", ignorenulls=True).over(w).cast("bigint").alias("ff_cents"),
     )
+
+
+@query(
+    "timeseries_ohlc_resample",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS h,
+           first({cents_duck('value')} ORDER BY ts, event_id) AS open_c,
+           max({cents_duck('value')}) AS high_c,
+           min({cents_duck('value')}) AS low_c,
+           last({cents_duck('value')} ORDER BY ts, event_id) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum({cents_duck('value')}) AS BIGINT) AS vol_c
+    FROM events
+    GROUP BY event_type, h
+    """,
+)
+def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the candle every monitoring/market pipeline
+    renders: per (event_type, hour), the first/max/min/last value in
+    integer cents plus tick count and volume. Open/close use
+    ``min_by``/``max_by`` on the total (ts, event_id) ordering so ties
+    are deterministic. One partial-agg shuffle on the composite key;
+    at 100 TB the hour column is derived in the scan and the combine
+    happens map-side — the canonical time-bucket rollup shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        cents_spark(F.col("value")).alias("v_c"),
+        "ts",
+        "event_id",
+    )
+    ordkey = F.struct("ts", "event_id")
+    return ev.groupBy("event_type", "h").agg(
+        F.min_by("v_c", ordkey).alias("open_c"),
+        F.max("v_c").alias("high_c"),
+        F.min("v_c").alias("low_c"),
+        F.max_by("v_c", ordkey).alias("close_c"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum("v_c").cast("bigint").alias("vol_c"),
+    )
+
+
+@query(
+    "event_sequence_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """,
+)
+def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the frequency of every ordered
+    event-type trigram within a user's clickstream (lead/lead over the
+    per-user (ts, event_id) ordering, then a global count). The
+    sessionless cousin of the funnel — it asks WHICH paths are common
+    instead of measuring a fixed one. One (user) window exchange +
+    one map-combined count on a key space bounded by |types|^3, so the
+    second shuffle is tiny regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.money import cents_spark
 from ..sources import load_table
 from .registry import query
 
@@ -449,4 +450,35 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).alias("n_last_hour"),
         F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
+    )
+
+
+@query(
+    "window_percent_rank_acctbal",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def window_percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each customer's balance within its nation:
+    ``percent_rank`` ((rank-1)/(n-1)) and ``cume_dist`` (peers/n) over
+    the per-nation balance ordering — the peer-group semantics (ties
+    share a rank and a cume step) that ntile/row_number can't express.
+    Both are exact integer ratios evaluated in one IEEE division, so
+    the doubles hash identically across engines. Single exchange on
+    c_nationkey."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        cents_spark(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
