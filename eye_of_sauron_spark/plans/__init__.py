@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     dedup,
     grouped,
     preference,
+    profiling,
     relational,
     robust,
     scalar,

@@ -1179,3 +1179,106 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near, "doc_id", "left")
         .select("doc_id", "lang", verdict.alias("verdict"))
     )
+
+
+# --- edit-distance near-dup ------------------------------------------------
+
+# band bucket cap: a prefix/suffix shared by more than this many docs
+# (boilerplate headers/footers) is dropped from candidate generation —
+# the same per-key work bound the ngram pipeline's df cutoff enforces
+_EDIT_BAND_CAP = 32
+_EDIT_BAND_CHARS = 32
+# verify threshold: edit distance <= 15% of the longer text
+_EDIT_PCT = 15
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, text, 'p' AS bt,
+               left(text, {_EDIT_BAND_CHARS}) AS band FROM documents
+        UNION ALL
+        SELECT doc_id, lang, text, 's' AS bt,
+               right(text, {_EDIT_BAND_CHARS}) AS band FROM documents
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY lang, bt, band) AS bn
+            FROM b
+        ) WHERE bn <= {_EDIT_BAND_CAP}
+    ),
+    cand AS (
+        SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+               max(a.text) AS a_text, max(c.text) AS b_text
+        FROM capped a JOIN capped c
+          ON a.lang = c.lang AND a.bt = c.bt AND a.band = c.band
+         AND a.doc_id < c.doc_id
+        GROUP BY a.doc_id, c.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(levenshtein(a_text, b_text) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(a_text), length(b_text)) AS BIGINT) AS max_len
+    FROM cand
+    WHERE levenshtein(a_text, b_text) * 100
+          <= {_EDIT_PCT} * greatest(length(a_text), length(b_text))
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the third verification family
+    after set-similarity (MinHash/ngram) and vector-cosine: candidates
+    from two character bands (shared 32-char prefix OR suffix within a
+    language — a k-edit pair whose edits miss one end collides there),
+    a per-band bucket cap of 32 so boilerplate bands can't go
+    quadratic, then exact Levenshtein verification at <= 15% of the
+    longer text. Candidate generation is two equi-joins on (lang,
+    band) — never all-pairs — and the DP verify runs JVM-side
+    (``F.levenshtein``) on O(band_cap^2)-bounded pairs. Recall is
+    banding-bounded (mid-text-only edits sharing neither end are
+    missed) exactly as LSH recall is band-bounded; the driver-checked
+    contract makes the trade explicit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bands = d.select(
+        "doc_id", "lang", "text", F.lit("p").alias("bt"),
+        F.expr(f"left(text, {_EDIT_BAND_CHARS})").alias("band"),
+    ).unionByName(
+        d.select(
+            "doc_id", "lang", "text", F.lit("s").alias("bt"),
+            F.expr(f"right(text, {_EDIT_BAND_CHARS})").alias("band"),
+        )
+    )
+    wb = W.partitionBy("lang", "bt", "band")
+    capped = (
+        bands.withColumn("bn", F.count("*").over(wb))
+        .filter(F.col("bn") <= _EDIT_BAND_CAP)
+        .drop("bn")
+    )
+    left = capped.select(
+        F.col("doc_id").alias("a_id"), "lang", "bt", "band",
+        F.col("text").alias("a_text"),
+    )
+    right = capped.select(
+        F.col("doc_id").alias("b_id"), "lang", "bt", "band",
+        F.col("text").alias("b_text"),
+    )
+    # the DP runs INSIDE the aggregate's result projection: a filter on
+    # `edit_dist` cannot push below an Aggregate, so each pair is
+    # verified exactly once (phrased as select-then-filter, pushdown
+    # would clone the levenshtein into the predicate — the SCALE.md
+    # double-evaluation trap)
+    cand = (
+        left.join(right, ["lang", "bt", "band"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.levenshtein(F.max("a_text"), F.max("b_text"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            F.greatest(F.length(F.max("a_text")), F.length(F.max("b_text")))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return cand.filter(
+        F.col("edit_dist") * 100 <= _EDIT_PCT * F.col("max_len")
+    )

@@ -126,3 +126,79 @@ def test_percent_rank_cume_dist_ranges(spark, sf_dir):
         assert max(v.cd for v in vs) == 1.0
         if len(vs) > 1:
             assert min(v.pr for v in vs) == 0.0
+
+
+def test_edit_distance_pairs_verified_and_band_complete(spark, sf_dir):
+    import duckdb
+
+    docs = {
+        r.doc_id: (r.lang, r.text)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        (r.a_id, r.b_id): (r.edit_dist, r.max_len)
+        for r in QUERIES["dedup_edit_distance"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    lev = lambda a, b: con.execute(  # noqa: E731
+        "SELECT levenshtein(?, ?)", [a, b]
+    ).fetchone()[0]
+    # soundness: every reported pair is ordered, within threshold, and
+    # the reported distance is the true Levenshtein distance
+    for (a, b), (dist, mlen) in got.items():
+        assert a < b
+        ta, tb = docs[a][1], docs[b][1]
+        assert mlen == max(len(ta), len(tb))
+        assert dist == lev(ta, tb)
+        assert dist * 100 <= 15 * mlen
+    # completeness: re-derive the banding rule (shared 32-char prefix
+    # or suffix within a lang, band bucket <= 32) + threshold; every
+    # such pair must have been reported
+    from collections import defaultdict
+
+    bands = defaultdict(list)
+    for did, (lang, text) in docs.items():
+        bands[(lang, "p", text[:32])].append(did)
+        bands[(lang, "s", text[-32:])].append(did)
+    expect = set()
+    for ids in bands.values():
+        if len(ids) > 32:
+            continue
+        for i, a in enumerate(sorted(ids)):
+            for b in sorted(ids)[i + 1 :]:
+                ta, tb = docs[a][1], docs[b][1]
+                if lev(ta, tb) * 100 <= 15 * max(len(ta), len(tb)):
+                    expect.add((a, b))
+    assert set(got) == expect
+
+
+def test_profile_matches_pandas(spark, sf_dir):
+    import math
+
+    rows = load_table(spark, sf_dir, "events").collect()
+    got = {r.col_name: r for r in QUERIES["profile_events_columns"](spark, sf_dir).collect()}
+    assert set(got) == {"event_id", "user_id", "value_cents", "ts_micros", "event_type"}
+    uids = [r.user_id for r in rows]
+    assert got["user_id"].n_rows == len(rows)
+    assert got["user_id"].n_null == sum(1 for u in uids if u is None)
+    assert got["user_id"].n_distinct == len(set(uids))
+    assert got["user_id"].min_num == min(uids)
+    assert got["user_id"].max_num == max(uids)
+    cents = [int(math.floor(r.value * 100 + 0.5)) for r in rows]
+    assert got["value_cents"].min_num == min(cents)
+    assert got["value_cents"].max_num == max(cents)
+    assert got["event_type"].min_str == min(r.event_type for r in rows)
+    assert got["event_type"].max_str == max(r.event_type for r in rows)
+    assert got["event_type"].min_num is None
+
+
+def test_validation_rules_fire_correctly(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "events").collect()
+    got = {r.rule: r for r in QUERIES["validate_events_expectations"](spark, sf_dir).collect()}
+    assert got["value_non_negative"].n_violations == sum(1 for r in rows if r.value < 0)
+    assert got["value_at_most_500"].n_violations == sum(1 for r in rows if r.value > 500)
+    ids = [r.event_id for r in rows]
+    assert got["event_id_unique"].n_violations == len(ids) - len(set(ids))
+    for r in got.values():
+        assert r.n_checked == len(rows)
+        assert r.passed == (r.n_violations == 0)
