@@ -422,3 +422,85 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support_ppm",
         "lift_ppm",
     )
+
+
+# --- heavy hitters (frequent-items sketch, exact output) -------------------
+
+# report keys with frequency > n / _HH_PHI_INV
+_HH_PHI_INV = 2000
+# Misra-Gries summary size per partition; k >= phi_inv guarantees the
+# candidate set is a SUPERSET of the true heavy hitters (any key with
+# freq > n/(k+1) survives every trim), so the exact second pass makes
+# the final output partition-layout-independent
+_HH_MG_K = 4096
+
+
+def _mg_update(counters: dict, batch_counts, k: int) -> dict:
+    """One Misra-Gries merge-and-trim step: fold a batch's
+    ``value_counts`` into the summary, then if more than ``k`` keys
+    remain subtract the (k+1)-largest weight from all and drop
+    non-positives. Every subtraction is applied to ALL keys, so a key
+    with true frequency > n/(k+1) can never be fully cancelled — the
+    summary stays a superset of the heavy hitters (Agarwal et al.,
+    mergeable summaries). Pure function so the guarantee is
+    property-testable off-cluster."""
+    for key, c in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(c)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]  # (k+1)-largest
+        counters = {u: w - cut for u, w in counters.items() if w > cut}
+    return counters
+
+
+@query(
+    "heavy_hitters_users",
+    oracle=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {_HH_PHI_INV} > (SELECT count(*) FROM events)
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters): users with > n/2000 of all
+    events, EXACT counts — via the production two-pass shape, not a
+    full-key shuffle. Pass 1 runs a Misra-Gries summary (k=4096) per
+    partition inside ``mapInPandas`` — vectorized value_counts merge +
+    trim (subtract the (k+1)-largest weight, drop non-positives),
+    which preserves MG's superset guarantee for every key above the
+    threshold — so only O(partitions x k) candidate rows ever leave
+    the executors. Pass 2 re-counts ONLY the candidate keys exactly
+    (broadcast semi-join + map-combined groupBy: the shuffle carries
+    at most |candidates| rows per partition, never the raw events) and
+    applies the threshold to exact counts, which erases pass-1
+    approximation: the result is deterministic and oracle-hashed.
+    At 100 TB the full-key groupBy this replaces would shuffle every
+    distinct user; this shuffles two tiny relations. Completes the
+    mergeable-sketch family (HLL distincts, KLL quantiles, MG
+    frequencies); the fixture's flat user distribution makes most
+    users qualify — the guarantee, not the selectivity, is what the
+    probe checks at scale."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def mg_summaries(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            counters = _mg_update(counters, pdf["user_id"].value_counts(), _HH_MG_K)
+        yield pd.DataFrame(
+            {"user_id": list(counters.keys())}, dtype="int64"
+        )
+
+    cand = ev.mapInPandas(mg_summaries, "user_id long").distinct()
+    total = ev.agg(F.count("*").alias("n_total"))
+    exact = (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * _HH_PHI_INV > F.col("n_total"))
+        .select("user_id", F.col("n_events").cast("bigint").alias("n_events"))
+    )

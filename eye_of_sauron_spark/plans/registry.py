@@ -41,6 +41,7 @@ _REGISTRY: dict[str, Query] = {}
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
     # registered this session, never driver-checked — need first rows
+    "heavy_hitters_users",
     "dedup_edit_distance",
     "profile_events_columns",
     "validate_events_expectations",

@@ -202,3 +202,48 @@ def test_validation_rules_fire_correctly(spark, sf_dir):
     for r in got.values():
         assert r.n_checked == len(rows)
         assert r.passed == (r.n_violations == 0)
+
+
+def test_mg_superset_guarantee_property():
+    """Any key with true frequency > n/(k+1) must survive the
+    Misra-Gries summary regardless of stream order or batching."""
+    import random
+
+    import pandas as pd
+
+    from eye_of_sauron_spark.plans.aggregation import _mg_update
+
+    rng = random.Random(7)
+    for trial in range(20):
+        k = rng.choice([4, 8, 16])
+        # skewed stream: a few hot keys + a long uniform tail
+        hot = {f"h{i}": rng.randint(50, 200) for i in range(3)}
+        tail = {f"t{i}": rng.randint(1, 4) for i in range(200)}
+        stream = [u for u, c in {**hot, **tail}.items() for _ in range(c)]
+        rng.shuffle(stream)
+        n = len(stream)
+        counters: dict = {}
+        i = 0
+        while i < n:
+            step = rng.randint(1, 97)
+            batch = pd.Series(stream[i : i + step]).value_counts()
+            counters = _mg_update(counters, batch, k)
+            i += step
+        freqs = pd.Series(stream).value_counts()
+        for key, f in freqs.items():
+            if f * (k + 1) > n:
+                assert key in counters, (trial, key, f, n, k)
+
+
+def test_heavy_hitters_exact_output(spark, sf_dir):
+    from collections import Counter
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    freqs = Counter(r.user_id for r in ev)
+    n = len(ev)
+    want = {u: c for u, c in freqs.items() if c * 2000 > n}
+    got = {
+        r.user_id: r.n_events
+        for r in QUERIES["heavy_hitters_users"](spark, sf_dir).collect()
+    }
+    assert got == want
