@@ -42,6 +42,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFY_FIRST: tuple[str, ...] = (
     # registered this session, never driver-checked — need first rows
     "heavy_hitters_users",
+    "histogram_equi_depth_value",
     "dedup_edit_distance",
     "profile_events_columns",
     "validate_events_expectations",

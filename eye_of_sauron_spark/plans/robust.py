@@ -171,3 +171,58 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_anom").cast("bigint").alias("n_anomalies"),
         )
     )
+
+
+_EQD_BUCKETS = 8
+
+
+@query(
+    "histogram_equi_depth_value",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type, {cents_duck('value')} AS v_c,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {cents_duck('value')}, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, v_c, n,
+               CAST(floor(({_EQD_BUCKETS} * (rn - 1)) / n) AS BIGINT) AS bucket
+        FROM x
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(v_c) AS lo_c, max(v_c) AS hi_c
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def histogram_equi_depth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of value per event_type: 8 buckets holding
+    (near-)equal row counts with their exact [lo, hi] cent bounds —
+    the statistic an optimizer or drift monitor wants where the
+    equi-WIDTH histogram (histogram_value_buckets) lies under skew.
+    Bucket assignment is rank arithmetic (floor(B*(rn-1)/n), exact in
+    doubles below 2^53) over the same single per-type exchange the
+    winsorize pass uses; boundaries come out of the bucket aggregate
+    itself, so no second quantile pass and no interpolation — every
+    bound is a real data value and the result hashes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents_spark(F.col("value")).alias("v_c")
+    )
+    w_ord = W.partitionBy("event_type").orderBy("v_c", "event_id")
+    w_all = W.partitionBy("event_type")
+    rn = F.row_number().over(w_ord)
+    n = F.count("*").over(w_all)
+    bucket = F.floor((F.lit(_EQD_BUCKETS) * (rn - F.lit(1))) / n).cast("bigint")
+    return (
+        ev.select("event_type", "v_c", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("v_c").alias("lo_c"),
+            F.max("v_c").alias("hi_c"),
+        )
+    )

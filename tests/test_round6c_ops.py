@@ -247,3 +247,20 @@ def test_heavy_hitters_exact_output(spark, sf_dir):
         for r in QUERIES["heavy_hitters_users"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_equi_depth_buckets_balanced_and_ordered(spark, sf_dir):
+    got = QUERIES["histogram_equi_depth_value"](spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in got:
+        by_type[r.event_type].append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.bucket)
+        n = sum(r.n_rows for r in rows)
+        assert [r.bucket for r in rows] == list(range(8))
+        for r in rows:
+            # equi-depth: every bucket within one row of n/8
+            assert abs(r.n_rows - n / 8) <= 1
+            assert r.lo_c <= r.hi_c
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi_c <= b.lo_c  # buckets tile the sorted domain
