@@ -498,3 +498,60 @@ def test_keyless_range_join_is_banded_equi(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_single_exchange_rank_operators(spark, sf_dir):
+    # winsorize / equi-depth: all windows + the final shape share ONE
+    # hash exchange on the group key
+    for name in ("winsorize_values_by_type", "histogram_equi_depth_value"):
+        p = _plan(spark, sf_dir, name)
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    # the tiny per-type moments table must broadcast back onto the scan
+    p = _plan(spark, sf_dir, "anomaly_zscore_events")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_skyline_has_no_unpartitioned_big_window(spark, sf_dir):
+    # the only unpartitioned window runs over the per-month aggregate
+    # (tiny); every window over order rows is bucket-partitioned, and
+    # the frontier never self-joins
+    p = _plan(spark, sf_dir, "skyline_pareto_orders")
+    assert "BroadcastHashJoin" in p  # later_min joins back via broadcast
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_edit_distance_reuses_band_exchange(spark, sf_dir):
+    # at scale (no broadcast) the band self-join's right side must be a
+    # ReusedExchange of the cap-window's shuffle: ONE text shuffle total
+    from eye_of_sauron_spark.session import get_spark  # noqa: F401
+
+    df = plans.all_queries()["dedup_edit_distance"](spark, sf_dir)
+    with _no_broadcast(spark):
+        df2 = plans.all_queries()["dedup_edit_distance"](spark, sf_dir)
+        p = df2._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in p
+    # and the Levenshtein DP must live in the aggregate, not a filter
+    # (a pushed filter would clone it — the SCALE.md double-eval trap)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"Filter [^\n]*levenshtein", opt)
+
+
+class _no_broadcast:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev_thr = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev_thr)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)
