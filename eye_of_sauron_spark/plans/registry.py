@@ -40,7 +40,8 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # registered this session, never driver-checked — need first rows
+    # --- r06 rotation (50 slots, ~57 never-checked competing) ---
+    # 1) registered THIS session, never driver-checked, newest code
     "heavy_hitters_users",
     "histogram_equi_depth_value",
     "dedup_edit_distance",
@@ -53,70 +54,68 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "event_sequence_trigrams",
     "text_char_diversity",
     "window_percent_rank_acctbal",
-    "cdc_latest_snapshot",
-    "scd2_merge_customers",
-    "text_bigram_lm",
-    "stream_session_replay",
-    "stream_cdc_apply_replay",
-    "textrank_keywords",
-    "text_lm_score",
-    "decontam_source_overlap_matrix",
-    "embedding_centroid_stats",
-    "cohort_retention_orders",
-    "mixture_temperature_sample",
-    "dataset_diff_snapshots",
-    "range_join_time_buckets",
-    "curation_pipeline_e2e",
-    "kmeans_lloyd_step",
-    "stream_funnel_replay",
-    "timeseries_gap_fill",
-    "market_basket_part_pairs",
-    "graph_triangle_census",
-    "pca_power_iteration",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    "stream_left_join_replay",
-    # r06 rotation: plans/dedup.py was rewritten heavily in r05 AFTER
-    # these three were last driver-checked (r04) — fresh rows convert
-    # "green-but-stale" into green (VERDICT r05 #1).
+    # 2) VERDICT r05 #1: plans/dedup.py was rewritten AFTER these were
+    # last checked (r04) — fresh rows convert green-but-stale to green
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
-    # plan-shape changes this session (explode_outer / non-nullable
-    # join key) — need post-change driver rows
+    # plan-shape changed this round (explode_outer / non-null join key)
     "dedup_ngram_jaccard",
     "similarity_topk_lsh",
-    # model-UDF pipelines, last checked r04 (face pipeline is a
-    # rows-only driver check — weakest signal, strong pytest — so it
-    # yields its top-50 slot to the exact-hash restart replay)
-    "ml_match_first_target",
-    "stream_restart_replay",
-    # modified or first registered this round (r06) — need evidence
-    "funnel_view_click_purchase",
-    "quality_filter_pipeline",
-    "dedup_incremental_corpus",
-    "embedding_int8_quantize",
-    "zorder_cluster_events",
-    "similarity_topk_sq8_rerank",
-    "similarity_sq8_recall",
-    "window_time_range_rolling",
+    # 3) the rest of the never-checked r06 registrations, EXCEPT a
+    # deferred dozen with the strongest independent evidence (golden
+    # roundtrips / property tests / probes) listed after the cut so
+    # the 50-slot budget closes — they lead the r07 rotation
+    "stream_cdc_apply_replay",
+    "stream_session_replay",
+    "stream_funnel_replay",
     "stream_window_replay",
     "stream_update_mode_replay",
-    "compact_small_files",
-    "schema_evolution_ingest",
-    "tfidf_top_terms",
+    "stream_left_join_replay",
+    "stream_restart_replay",
     "stream_rebroadcast_replay",
     "kafka_decode_replay",
     "similarity_lsh_recall",
     "similarity_ivf_recall",
-    "decontaminate_ngram_overlap",
-    "dedup_substring_spans",
-    "mixture_cap_per_source",
-    "ml_face_pipeline",
+    "similarity_sq8_recall",
+    "similarity_topk_sq8_rerank",
+    "textrank_keywords",
+    "text_bigram_lm",
+    "text_lm_score",
+    "cdc_latest_snapshot",
+    "scd2_merge_customers",
+    "cohort_retention_orders",
+    "dataset_diff_snapshots",
+    "mixture_temperature_sample",
+    "decontam_source_overlap_matrix",
+    "embedding_centroid_stats",
+    "kmeans_lloyd_step",
+    "pca_power_iteration",
+    "graph_triangle_census",
+    "market_basket_part_pairs",
+    "range_join_time_buckets",
+    "timeseries_gap_fill",
+    "curation_pipeline_e2e",
+    "dedup_incremental_corpus",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    # --- the ~50-slot cut lands here ---
+    # deferred never-checked (lead r07): golden/property/pytest-backed
     "jsonl_roundtrip_ingest",
     "csv_roundtrip_ingest",
-    # remaining r04-evidence block (all other registered queries were
-    # checked in r05): dedup/text/windows/joins/relational/streaming
+    "compact_small_files",
+    "schema_evolution_ingest",
+    "zorder_cluster_events",
+    "embedding_int8_quantize",
+    "funnel_view_click_purchase",
+    "quality_filter_pipeline",
+    "mixture_cap_per_source",
+    "window_time_range_rolling",
+    "dedup_substring_spans",
+    "decontaminate_ngram_overlap",
+    # then the oldest driver evidence (r04 block)
+    "ml_face_pipeline",
+    "ml_match_first_target",
     "dedup_exact",
     "dedup_exact_keep_first",
     "grouped_map_session_stats",
