@@ -44,6 +44,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # 1) registered THIS session, never driver-checked, newest code
     "heavy_hitters_users",
     "histogram_equi_depth_value",
+    "corr_hourly_click_purchase",
     "dedup_edit_distance",
     "profile_events_columns",
     "validate_events_expectations",
@@ -98,9 +99,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "curation_pipeline_e2e",
     "dedup_incremental_corpus",
     "join_salted_skew",
-    "join_bucketed_colocated",
     # --- the ~50-slot cut lands here ---
     # deferred never-checked (lead r07): golden/property/pytest-backed
+    "join_bucketed_colocated",
     "jsonl_roundtrip_ingest",
     "csv_roundtrip_ingest",
     "compact_small_files",

@@ -226,3 +226,75 @@ def histogram_equi_depth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_c").alias("hi_c"),
         )
     )
+
+
+@query(
+    "corr_hourly_click_purchase",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY hr
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x*x) AS HUGEINT) AS qx, CAST(sum(y*y) AS HUGEINT) AS qy,
+               CAST(sum(x*y) AS HUGEINT) AS sxy
+        FROM h
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                     WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS INT) AS sign,
+           CAST((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+                // ((n*qx - sx*sx) * (n*qy - sy*sy)) AS BIGINT) AS r2_ppm
+    FROM m
+    """,
+)
+def corr_hourly_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hourly click volume and hourly
+    purchase volume, exact across engines: r is irrational (sqrt), so
+    the engine reports r^2 in ppm plus the sign — r^2 = (n*Sxy -
+    Sx*Sy)^2 / ((n*Qx - Sx^2)(n*Qy - Sy^2)) is a ratio of integers,
+    computed in DECIMAL(38,0)/HUGEINT with one exact final division.
+    The profiling staple (correlation matrices over metric pairs) in
+    the same no-float-accumulation discipline as the z-score pass.
+    Plan: one (hour) partial-agg shuffle for the paired series, then a
+    single global moments aggregate — two exchanges, the second one
+    carrying one row per hour."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = h.agg(
+        big(F.count("*")).alias("n"),
+        big(F.sum("x")).alias("sx"),
+        big(F.sum("y")).alias("sy"),
+        big(F.sum(F.col("x") * F.col("x"))).alias("qx"),
+        big(F.sum(F.col("y") * F.col("y"))).alias("qy"),
+        big(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("qx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")
+    )
+    # exact integer floor division (`div` / DuckDB `//`): a decimal
+    # `/` rounds the quotient at its result scale, and floor() of a
+    # rounded quotient can disagree with the oracle's truncation when
+    # the true ratio sits within half an ulp of an integer
+    parts = m.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.signum(num).cast("int").alias("sign"),
+        (F.lit(1000000).cast("decimal(38,0)") * num * num).alias("num2"),
+        den.alias("den"),
+    )
+    return parts.select(
+        "n_hours",
+        "sign",
+        F.expr("CAST(num2 div den AS BIGINT)").alias("r2_ppm"),
+    )

@@ -264,3 +264,27 @@ def test_equi_depth_buckets_balanced_and_ordered(spark, sf_dir):
             assert r.lo_c <= r.hi_c
         for a, b in zip(rows, rows[1:]):
             assert a.hi_c <= b.lo_c  # buckets tile the sorted domain
+
+
+def test_corr_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "events").collect()
+    # spine = every hour with ANY event (zero-zero hours are real
+    # observations in the paired series, exactly as the query defines)
+    hours = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        hours[h]  # materialize the hour even for other event types
+        if r.event_type == "click":
+            hours[h][0] += 1
+        elif r.event_type == "purchase":
+            hours[h][1] += 1
+    x = np.array([v[0] for v in hours.values()], dtype=float)
+    y = np.array([v[1] for v in hours.values()], dtype=float)
+    r_np = np.corrcoef(x, y)[0, 1]
+    got = QUERIES["corr_hourly_click_purchase"](spark, sf_dir).collect()[0]
+    assert got.n_hours == len(hours)
+    assert got.sign == (1 if r_np > 0 else -1 if r_np < 0 else 0)
+    # integer-exact ppm vs float reference: within one ppm of floor
+    assert abs(got.r2_ppm - int(r_np * r_np * 1_000_000)) <= 1
