@@ -457,8 +457,10 @@ def _mg_update(counters: dict, batch_counts, k: int) -> dict:
     oracle=f"""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
-    HAVING count(*) * {_HH_PHI_INV} > (SELECT count(*) FROM events)
+    HAVING count(*) * {_HH_PHI_INV} > (SELECT count(*) FROM events
+                                       WHERE user_id IS NOT NULL)
     """,
 )
 def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,10 +481,20 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch family (HLL distincts, KLL quantiles, MG
     frequencies); the fixture's flat user distribution makes most
     users qualify — the guarantee, not the selectivity, is what the
-    probe checks at scale."""
+    probe checks at scale.
+
+    NULL keys are excluded EXPLICITLY on both sides (stated contract,
+    not an accident of the fixture): pandas ``value_counts`` drops NaN
+    and a left-semi join never matches NULL, so without the filter a
+    NULL group crossing the threshold would silently diverge from the
+    oracle's GROUP BY, which reports it."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
 
     def mg_summaries(batches):
         counters: dict[int, int] = {}

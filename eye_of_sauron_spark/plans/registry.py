@@ -40,67 +40,14 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r06 rotation (50 slots, ~57 never-checked competing) ---
-    # 1) registered THIS session, never driver-checked, newest code
-    "heavy_hitters_users",
-    "histogram_equi_depth_value",
-    "corr_hourly_click_purchase",
-    "dedup_edit_distance",
-    "profile_events_columns",
-    "validate_events_expectations",
-    "skyline_pareto_orders",
-    "winsorize_values_by_type",
-    "anomaly_zscore_events",
-    "timeseries_ohlc_resample",
-    "event_sequence_trigrams",
-    "text_char_diversity",
-    "window_percent_rank_acctbal",
-    # 2) VERDICT r05 #1: plans/dedup.py was rewritten AFTER these were
-    # last checked (r04) — fresh rows convert green-but-stale to green
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    # plan-shape changed this round (explode_outer / non-null join key)
-    "dedup_ngram_jaccard",
-    "similarity_topk_lsh",
-    # 3) the rest of the never-checked r06 registrations, EXCEPT a
-    # deferred dozen with the strongest independent evidence (golden
-    # roundtrips / property tests / probes) listed after the cut so
-    # the 50-slot budget closes — they lead the r07 rotation
-    "stream_cdc_apply_replay",
-    "stream_session_replay",
-    "stream_funnel_replay",
-    "stream_window_replay",
-    "stream_update_mode_replay",
-    "stream_left_join_replay",
-    "stream_restart_replay",
-    "stream_rebroadcast_replay",
+    # --- r07 rotation (50 slots) ---
+    # 1) the three r06 reds — output schema flattened (ArrayType ->
+    # comma-joined string) so the driver canonicalizer can hash them
     "kafka_decode_replay",
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    "similarity_sq8_recall",
-    "similarity_topk_sq8_rerank",
-    "textrank_keywords",
-    "text_bigram_lm",
-    "text_lm_score",
-    "cdc_latest_snapshot",
-    "scd2_merge_customers",
-    "cohort_retention_orders",
-    "dataset_diff_snapshots",
-    "mixture_temperature_sample",
-    "decontam_source_overlap_matrix",
     "embedding_centroid_stats",
     "kmeans_lloyd_step",
-    "pca_power_iteration",
-    "graph_triangle_census",
-    "market_basket_part_pairs",
-    "range_join_time_buckets",
-    "timeseries_gap_fill",
-    "curation_pipeline_e2e",
-    "dedup_incremental_corpus",
-    "join_salted_skew",
-    # --- the ~50-slot cut lands here ---
-    # deferred never-checked (lead r07): golden/property/pytest-backed
+    # 2) the 13 queries that have NEVER had a driver row (deferred past
+    # the r06 cut; VERDICT r06 #2)
     "join_bucketed_colocated",
     "jsonl_roundtrip_ingest",
     "csv_roundtrip_ingest",
@@ -114,7 +61,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "window_time_range_rolling",
     "dedup_substring_spans",
     "decontaminate_ngram_overlap",
-    # then the oldest driver evidence (r04 block)
+    # 3) new registrations this round (never driver-checked)
+    "stream_reorder_overflow_replay",
+    # 4) the r04-stale block (VERDICT r06 #4) — last driver row 3 rounds
+    # ago; ml/pipeline.py was touched in r05-r06, so its two lead
     "ml_face_pipeline",
     "ml_match_first_target",
     "dedup_exact",
@@ -144,6 +94,22 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
+    # --- the ~50-slot cut lands here (47 above + new regs below) ---
+    # 5) r05-stale block re-greens as slots allow; queries whose SOURCE
+    # changed since their last row lead it
+    "corr_hourly_click_purchase",   # robust.py denominator reworked r07
+    "heavy_hitters_users",          # aggregation.py null-key guard r07
+    "approx_distinct_users",
+    "sketch_quantiles_value",
+    "tfidf_top_terms",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf",
+    "dedup_simhash",
+    "dedup_cluster_multimodal",
+    "reorder_replay",
+    "stream_join_replay",
+    "stream_dedup_replay",
+    "stream_static_match_replay",
 )
 
 

@@ -249,8 +249,14 @@ def histogram_equi_depth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n_hours,
            CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
                      WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS INT) AS sign,
-           CAST((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
-                // ((n*qx - sx*sx) * (n*qy - sy*sy)) AS BIGINT) AS r2_ppm
+           CAST(CASE
+                WHEN n*qx - sx*sx = 0 OR n*qy - sy*sy = 0 THEN NULL
+                WHEN n*qx - sx*sx >= n*qy - sy*sy THEN
+                     ((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+                      // (n*qx - sx*sx)) // (n*qy - sy*sy)
+                ELSE ((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+                      // (n*qy - sy*sy)) // (n*qx - sx*sx)
+                END AS BIGINT) AS r2_ppm
     FROM m
     """,
 )
@@ -280,21 +286,37 @@ def corr_hourly_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         big(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = (F.col("n") * F.col("qx") - F.col("sx") * F.col("sx")) * (
-        F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")
-    )
+    vx = F.col("n") * F.col("qx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")
     # exact integer floor division (`div` / DuckDB `//`): a decimal
     # `/` rounds the quotient at its result scale, and floor() of a
     # rounded quotient can disagree with the oracle's truncation when
-    # the true ratio sits within half an ulp of an integer
+    # the true ratio sits within half an ulp of an integer.
+    #
+    # Two-step division, never the vx*vy product: for non-negative a
+    # and positive m, n, floor(floor(a/m)/n) == floor(a/(m*n)), so
+    # dividing by the LARGER variance first is exact and keeps every
+    # intermediate in range. Magnitude bound (documented, like the
+    # z-score pass): exact while 10^6*num^2 < 10^38, i.e. |num| <=
+    # 3.1e15 — with H hours and hourly-count std-devs sx_, sy_ that is
+    # num ~ H^2*sx_*sy_*r, so a decade of hourly data (H ~ 9e4) stays
+    # exact up to ~6e2 events/hour of co-fluctuation, and ~100x more
+    # headroom than the single-division vx*vy form this replaces.
+    # Constant series (vx or vy = 0) yield NULL r2_ppm on BOTH engines
+    # instead of Spark-NULL-vs-DuckDB-error divergence.
     parts = m.select(
         F.col("n").cast("bigint").alias("n_hours"),
         F.signum(num).cast("int").alias("sign"),
         (F.lit(1000000).cast("decimal(38,0)") * num * num).alias("num2"),
-        den.alias("den"),
+        vx.alias("vx"),
+        vy.alias("vy"),
     )
     return parts.select(
         "n_hours",
         "sign",
-        F.expr("CAST(num2 div den AS BIGINT)").alias("r2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN vx = 0 OR vy = 0 THEN NULL"
+            "          WHEN vx >= vy THEN (num2 div vx) div vy"
+            "          ELSE (num2 div vy) div vx END AS BIGINT)"
+        ).alias("r2_ppm"),
     )

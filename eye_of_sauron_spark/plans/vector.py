@@ -705,7 +705,8 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT label,
-               list(m ORDER BY pos) AS centroid_micro
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY pos)
+                   AS centroid_micro
         FROM (
             SELECT label, pos,
                    CAST(sum(vm) AS BIGINT) // count(*) AS m
@@ -763,9 +764,14 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(vm) div count(*)").alias("m"))
         .groupBy("label")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
+            # comma-joined string, not array<bigint>: the driver's
+            # canonicalizer (pandas sort/hash) cannot order list cells
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("string"),
+                ),
             ).alias("centroid_micro")
         )
     )
@@ -824,7 +830,9 @@ _KM_K = 8  # seeds = the k smallest vec_ids (fixed k at every SF)
         FROM members, unnest(range(1, len(embedding) + 1)) AS t(i)
     ),
     cent AS (
-        SELECT seed_id, list(m ORDER BY pos) AS centroid_micro
+        SELECT seed_id,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY pos)
+                   AS centroid_micro
         FROM (
             SELECT seed_id, pos, CAST(sum(vm) AS BIGINT) // count(*) AS m
             FROM comp GROUP BY seed_id, pos
@@ -904,9 +912,14 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(vm) div count(*)").alias("m"))
         .groupBy("seed_id")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
+            # flattened to a string for the driver canonicalizer — see
+            # embedding_centroid_stats
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("string"),
+                ),
             ).alias("centroid_micro")
         )
     )

@@ -512,7 +512,7 @@ _KAFKA_DECODE_ORACLE = """
            camera, frame_num, t AS timestamp,
            base64(from_hex(ph)) AS original_frame,
            '|u1' AS original_dtype,
-           [CAST(32 AS INT)] AS original_shape,
+           array_to_string([CAST(32 AS INT)], ',') AS original_shape,
            CAST(((strpos('0123456789abcdef', substr(ph, 1, 1)) - 1) * 16 +
                  (strpos('0123456789abcdef', substr(ph, 2, 1)) - 1)) % 3
                 AS INT) AS n_faces,
@@ -583,7 +583,11 @@ def kafka_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         "original_frame",
         "original_dtype",
-        "original_shape",
+        # flattened to a comma-joined string: the driver canonicalizer
+        # (pandas sort/hash) cannot order ArrayType cells
+        F.concat_ws(",", F.col("original_shape").cast("array<string>")).alias(
+            "original_shape"
+        ),
         "n_faces",
         (F.col("prediction").isNotNull() & (F.col("annotated_len") > 6)).alias(
             "pipeline_ok"
