@@ -54,15 +54,56 @@ def detect_faces_np(payload: bytes) -> list[list[int]]:
     return boxes
 
 
+def _embed_seed(payload: bytes, box: list[int]) -> int:
+    return (zlib.crc32(payload) ^ zlib.crc32(bytes(b % 256 for b in box))) & 0x7FFFFFFF
+
+
+def _splitmix01(seeds: np.ndarray, dim: int) -> np.ndarray:
+    """(n,) uint64 seeds -> (n, dim) float64 uniform in [0, 1), pure
+    numpy (splitmix64 finalizer per (seed, position) cell). This is
+    what makes the embed stub BATCH-vectorizable: the whole Arrow
+    batch is one (n x dim) integer-hash grid instead of n per-row
+    ``RandomState.uniform`` calls — the real model swap-in is equally
+    batched (one forward pass per Arrow batch)."""
+    j = np.arange(1, dim + 1, dtype=np.uint64)
+    x = seeds[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x = x + j * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
 def embed_faces_np(payload: bytes, boxes: list[list[int]]) -> list[list[float]]:
     """Stub ``face_encodings``: one EMBED_DIM vector per box, a pure
     function of (image bytes, box) so identical crops embed
     identically — which is what lets the exact-match tests assert
     dist == 0 for targets cut from the same frame."""
-    out = []
-    for box in boxes:
-        rng = _rng(payload, zlib.crc32(bytes(b % 256 for b in box)))
-        out.append([float(v) for v in rng.uniform(0.0, 1.0, EMBED_DIM)])
+    if not boxes:
+        return []
+    seeds = np.array([_embed_seed(payload, list(b)) for b in boxes], dtype=np.uint64)
+    return [[float(v) for v in row] for row in _splitmix01(seeds, EMBED_DIM)]
+
+
+def embed_batch_np(payloads, boxes) -> list[list[float] | None]:
+    """Batch embed: one vector per (payload, box) row, None where the
+    box is None — the whole batch hashed in a single numpy pass (no
+    per-row PRNG). Exactly ``embed_faces_np(img, [box])[0]`` per row;
+    the per-row form delegates to the same hash so targets cut from
+    the same frame still match at dist 0."""
+    rows = list(zip(payloads, boxes))
+    idx = [i for i, (_, bx) in enumerate(rows) if bx is not None]
+    out: list[list[float] | None] = [None] * len(rows)
+    if idx:
+        seeds = np.array(
+            [_embed_seed(rows[i][0], list(rows[i][1])) for i in idx],
+            dtype=np.uint64,
+        )
+        vecs = _splitmix01(seeds, EMBED_DIM)
+        for k, i in enumerate(idx):
+            out[i] = [float(v) for v in vecs[k]]
     return out
 
 
@@ -81,9 +122,18 @@ def detect_series(images: pd.Series) -> pd.Series:
 
 
 def embed_series(images: pd.Series, boxes: pd.Series) -> pd.Series:
-    return pd.Series(
-        [embed_faces_np(img, bx) for img, bx in zip(images, boxes)], index=images.index
-    )
+    """Per-frame multi-box embed (boxes is a list column). The seeds
+    are flattened across the whole batch and hashed in one numpy pass,
+    then regrouped per frame — no per-row PRNG."""
+    counts = [len(bx) if bx is not None else 0 for bx in boxes]
+    flat_imgs = [img for img, c in zip(images, counts) for _ in range(c)]
+    flat_boxes = [b for bx, c in zip(boxes, counts) if c for b in bx]
+    flat = embed_batch_np(flat_imgs, flat_boxes)
+    out, pos = [], 0
+    for c in counts:
+        out.append([flat[pos + k] for k in range(c)])
+        pos += c
+    return pd.Series(out, index=images.index)
 
 
 def make_embed_udf(weights_broadcast):
@@ -106,13 +156,10 @@ def make_embed_udf(weights_broadcast):
     def embed_with_weights(images: pd.Series, boxes: pd.Series) -> pd.Series:
         w = weights_broadcast.value  # deserialized once per executor
         s, b = float(w["scale"]), float(w["bias"])
-        out = []
-        for img, bx in zip(images, boxes):
-            if bx is None:
-                out.append(None)
-                continue
-            e = embed_faces_np(img, [list(bx)])[0]
-            out.append([v * s + b for v in e])
-        return pd.Series(out, index=images.index)
+        embs = embed_batch_np(list(images), list(boxes))
+        return pd.Series(
+            [[v * s + b for v in e] if e is not None else None for e in embs],
+            index=images.index,
+        )
 
     return embed_with_weights

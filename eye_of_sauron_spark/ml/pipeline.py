@@ -38,7 +38,7 @@ from pyspark.sql.window import Window as W
 from ..functions.vector import euclid_duck, euclid_spark
 from ..plans.registry import query
 from ..sources import load_table
-from .models import detect_series, embed_faces_np
+from .models import detect_series, embed_batch_np
 
 _N_TARGETS = 8
 _TOL = 1.25  # closest sf0.1 distance to this boundary is 2.2e-5 — no ULP flip
@@ -54,13 +54,9 @@ def _detect_udf(images: pd.Series) -> pd.Series:
 
 @pandas_udf(ArrayType(FloatType()))
 def _embed_one_udf(images: pd.Series, boxes: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            embed_faces_np(img, [list(bx)])[0] if bx is not None else None
-            for img, bx in zip(images, boxes)
-        ],
-        index=images.index,
-    )
+    # one vectorized hash pass over the whole Arrow batch — no
+    # per-row Python inside the UDF body (models.embed_batch_np)
+    return pd.Series(embed_batch_np(list(images), list(boxes)), index=images.index)
 
 
 @pandas_udf(BinaryType())

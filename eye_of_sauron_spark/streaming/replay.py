@@ -134,6 +134,106 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- reorder overflow / gap skip
+
+# 4 cameras so every SF >= 0.001 yields the full 200 frames per camera
+# (1000 events / 4 = 250, capped at 200) — the planted gap positions
+# exist at every scale and the trace below is SF-independent.
+_OV_CAMERAS = 4
+_OV_FRAMES = 200
+_OV_SPAN = 25          # frames per micro-batch (8 batches)
+_OV_BUFFER = 16        # small enough that every blocked run overflows
+_OV_LATE_FRAME = 50    # arrives in batch 5, AFTER the skip -> stale-dropped
+_OV_LATE_BATCH = 5
+_OV_LOST_FRAME = 120   # never arrives -> gap -> overflow skip
+
+_REORDER_OVERFLOW_ORACLE = f"""
+    WITH frames AS (
+        SELECT CAST(event_id % {_OV_CAMERAS} AS INT) AS camera,
+               CAST(row_number() OVER (
+                   PARTITION BY event_id % {_OV_CAMERAS} ORDER BY event_id
+               ) - 1 AS INT) AS frame_num
+        FROM events
+    )
+    SELECT camera, frame_num,
+           CAST(row_number() OVER (
+               PARTITION BY camera ORDER BY frame_num
+           ) AS INT) AS emit_rank
+    FROM frames
+    WHERE frame_num < {_OV_FRAMES}
+      AND frame_num NOT IN ({_OV_LATE_FRAME}, {_OV_LOST_FRAME})
+"""
+
+
+@query("stream_reorder_overflow_replay", oracle=_REORDER_OVERFLOW_ORACLE)
+def stream_reorder_overflow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A11 reorder buffer's DEGENERATE paths, driver-checked: the
+    bounded-heap overflow skip and the stale-frame drop (reference
+    src/utils.py:48-56 — fixed-size heap under frame loss). The happy
+    path is reorder_replay; this replay plants the failure modes and
+    the oracle pins their exact contract.
+
+    Per camera, frames 0..199 arrive IN ORDER in 8 batches of 25,
+    except: frame 120 never arrives (a lost frame -> permanent gap)
+    and frame 50 arrives 3 batches late. With buffer_size=16 the trace
+    is deterministic at every SF: batch 2's frames 51..74 pend behind
+    the gap at 50, overflow (24 > 16), and the buffer skips to 51;
+    when frame 50 finally shows up in batch 5 the emit point is far
+    past it -> dropped as stale (emitted order stays strictly
+    increasing). Frames 121..149 pend behind the lost 120 and overflow
+    the same way. Emitted set = everything except {{50, 120}}, each
+    exactly once, in per-camera order — a buffer that leaked state,
+    resurrected a stale frame, double-emitted across a skip, or
+    stalled forever on a gap changes the set and fails the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    cam = (F.col("event_id") % _OV_CAMERAS).cast("int")
+    frames = (
+        ev.select(
+            cam.alias("camera"),
+            (
+                F.row_number().over(W.partitionBy(cam).orderBy(F.col("event_id")))
+                - 1
+            )
+            .cast("int")
+            .alias("frame_num"),
+            F.col("event_type").alias("payload"),
+        )
+        .filter(
+            (F.col("frame_num") < _OV_FRAMES)
+            & (F.col("frame_num") != _OV_LOST_FRAME)
+        )
+        .withColumn(
+            "batch",
+            F.when(F.col("frame_num") == _OV_LATE_FRAME, F.lit(_OV_LATE_BATCH))
+            .otherwise(F.floor(F.col("frame_num") / _OV_SPAN))
+            .cast("int"),
+        )
+    )
+    n_batches = _OV_FRAMES // _OV_SPAN
+    work = tempfile.mkdtemp(prefix="reorder_overflow_")
+    try:
+        write_microbatch_files_partitioned(frames, "batch", n_batches, f"{work}/in")
+        stream = file_stream(
+            spark, f"{work}/in", "camera INT, frame_num INT, payload STRING"
+        )
+        with _scoped_shuffle(spark, _OV_CAMERAS):
+            emitted = run_to_memory(
+                reorder_stream(stream, buffer_size=_OV_BUFFER),
+                f"reorder_overflow_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select(
+        "camera",
+        "frame_num",
+        F.row_number()
+        .over(W.partitionBy("camera").orderBy("frame_num"))
+        .cast("int")
+        .alias("emit_rank"),
+    )
+
+
 # ------------------------------------------------------- stream-stream
 
 @contextmanager
