@@ -1231,6 +1231,63 @@ def _cdc_merge(cur: DataFrame, inc: DataFrame) -> DataFrame:
     )
 
 
+def make_cdc_apply(
+    work: str,
+    bucket_hist: dict[int, list[tuple[int, str]]],
+    read_log: list[tuple[int, list[tuple[int, str]]]] | None = None,
+):
+    """Build the foreachBatch upsert for the bucketed parquet snapshot
+    under ``work``. ``read_log``, when given, records every
+    (epoch_id, [(bucket, generation_path)...]) the merge READS — the
+    bucket-pruning contract ("an untouched bucket's files are never
+    opened") is asserted against it deterministically in
+    tests/test_round7_ops.py, not argued by wall-clock."""
+    import os
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        # no checkpoint: the compact re-evaluates once inside the merge
+        # write, which is cheaper than materializing it as its own job
+        # (2 jobs per micro-batch instead of 3)
+        compacted = _cdc_compact_batch(batch)
+        touched = sorted(
+            r["bucket"] for r in compacted.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        cur_paths = [
+            (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
+            for b in touched
+        ]
+        if read_log is not None:
+            read_log.append(
+                (epoch_id, [(b, p) for b, p in cur_paths if p is not None])
+            )
+        slices = [
+            s.read.parquet(p).withColumn("bucket", F.lit(b))
+            for b, p in cur_paths
+            if p is not None
+        ]
+        cur = slices[0] if slices else None
+        for sl in slices[1:]:
+            cur = cur.unionByName(sl)
+        # touched IS compacted's distinct bucket set — no filter needed
+        inc = compacted
+        merged = _cdc_merge(cur, inc) if cur is not None else inc
+        gen_dir = f"{work}/snap/gen={epoch_id}"
+        # cluster by bucket before the partitioned write: one file per
+        # bucket generation instead of shuffle_partitions x buckets
+        merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(gen_dir)
+        for b in touched:
+            bdir = f"{gen_dir}/bucket={b}"
+            if os.path.isdir(bdir):
+                _cdc_record_gen(bucket_hist.setdefault(b, []), epoch_id, bdir)
+
+    return _apply
+
+
 @query("stream_cdc_apply_replay", oracle=_CDC_APPLY_ORACLE)
 def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC APPLY, driver-checked: the events change log
@@ -1256,8 +1313,6 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi full-outer join per touched slice). Tombstones stay in the
     snapshot as flagged rows so ordering against late re-inserts
     stays well-defined; the read side filters them."""
-    import os
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
@@ -1275,43 +1330,7 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latest-path pointer — so an at-least-once epoch re-delivery
     # re-reads the pre-epoch generation (see _cdc_read_gen)
     bucket_hist: dict[int, list[tuple[int, str]]] = {}
-
-    def _apply(batch: DataFrame, epoch_id: int) -> None:
-        s = batch.sparkSession
-        # no checkpoint: the compact re-evaluates once inside the merge
-        # write, which is cheaper than materializing it as its own job
-        # (2 jobs per micro-batch instead of 3)
-        compacted = _cdc_compact_batch(batch)
-        touched = sorted(
-            r["bucket"] for r in compacted.select("bucket").distinct().collect()
-        )
-        if not touched:
-            return
-        cur_paths = [
-            (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
-            for b in touched
-        ]
-        slices = [
-            s.read.parquet(p).withColumn("bucket", F.lit(b))
-            for b, p in cur_paths
-            if p is not None
-        ]
-        cur = slices[0] if slices else None
-        for sl in slices[1:]:
-            cur = cur.unionByName(sl)
-        # touched IS compacted's distinct bucket set — no filter needed
-        inc = compacted
-        merged = _cdc_merge(cur, inc) if cur is not None else inc
-        gen_dir = f"{work}/snap/gen={epoch_id}"
-        # cluster by bucket before the partitioned write: one file per
-        # bucket generation instead of shuffle_partitions x buckets
-        merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(gen_dir)
-        for b in touched:
-            bdir = f"{gen_dir}/bucket={b}"
-            if os.path.isdir(bdir):
-                _cdc_record_gen(bucket_hist.setdefault(b, []), epoch_id, bdir)
+    _apply = make_cdc_apply(work, bucket_hist)
 
     try:
         with _scoped_shuffle(spark, _CDC_BATCHES):
