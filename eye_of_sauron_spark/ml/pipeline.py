@@ -278,16 +278,78 @@ def face_pipeline(frames: DataFrame, targets: DataFrame) -> DataFrame:
     )
 
 
-@query("ml_face_pipeline", oracle=None)
+# The face-pipeline oracle reconstructs the WHOLE detect -> target ->
+# first-match -> per-frame-prediction chain from the events table
+# alone, using two stub identities: (1) the detect stub's face count
+# is payload_byte0 % 3 (models.detect_faces_np), and (2) two faces
+# embed identically IFF they share (payload, face_idx) — the embed
+# seed is a pure function of (payload bytes, box) and boxes are a pure
+# function of the payload — so with _PIPE_TOL = 0.5 over unit-cube
+# random vectors, "match" is exactly (payload, face_idx) equality.
+# The target set is the first _PIPE_TARGETS faces in
+# (frame_num, face_idx) order; first-match-wins = min target_idx.
+_FACE_PIPELINE_ORACLE = f"""
+    WITH frames AS (
+        SELECT CAST(user_id % 8 AS INT) AS camera,
+               event_id AS frame_num,
+               sha256(CAST(user_id % 50 AS VARCHAR) || '|' || event_type) AS ph
+        FROM events WHERE {_FRAME_FILTER}
+    ),
+    nf AS (
+        SELECT camera, frame_num, ph,
+               CAST(((strpos('0123456789abcdef', substr(ph, 1, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef', substr(ph, 2, 1)) - 1)) % 3
+                    AS INT) AS n_faces
+        FROM frames
+    ),
+    faces AS (
+        SELECT camera, frame_num, ph, n_faces,
+               unnest(range(CAST(n_faces AS BIGINT))) AS face_idx
+        FROM nf
+    ),
+    targets AS (
+        SELECT ph, face_idx,
+               row_number() OVER (ORDER BY frame_num, face_idx) AS tidx
+        FROM faces
+        QUALIFY tidx <= {_PIPE_TARGETS}
+    ),
+    face0 AS (
+        SELECT f.camera, f.frame_num, min(t.tidx) AS mt
+        FROM faces f JOIN targets t
+          ON f.ph = t.ph AND f.face_idx = t.face_idx
+        WHERE f.face_idx = 0
+        GROUP BY f.camera, f.frame_num
+    )
+    SELECT n.camera, n.frame_num, n.n_faces,
+           CASE WHEN m.mt IS NULL THEN 'Unknown'
+                ELSE 'person_' || CAST(m.mt AS VARCHAR) END AS prediction,
+           TRUE AS annot_ok
+    FROM nf n LEFT JOIN face0 m
+      ON n.camera = m.camera AND n.frame_num = m.frame_num
+"""
+
+
+@query("ml_face_pipeline", oracle=_FACE_PIPELINE_ORACLE)
 def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end A4->A7 over frames synthesized from events; targets
-    are the stream's own first 4 faces. Model stubs are deterministic
-    fakes (models.py), so the output is stable but not
-    SQL-expressible: rows-only check here; semantics are
-    pytest-verified in tests/test_ml.py."""
+    are the stream's own first 4 faces. The model stubs are
+    deterministic pure functions of the payload bytes, which makes the
+    whole chain oracle-checkable (see _FACE_PIPELINE_ORACLE): the
+    driver hash-compares per-frame (n_faces, prediction) against a
+    closed-form SQL reconstruction, and ``annot_ok`` pins the annotate
+    stage in-plan (zero-face frames render to exactly the 7-byte
+    header + 32-byte payload; any detected face must grow it).
+    Remaining stub-dependent internals (box geometry, embedding
+    values) stay pytest-verified in tests/test_ml.py."""
     frames = frames_from_events(load_table(spark, sf_dir, "events"))
     # pin the 4-row target set: deriving it lazily re-runs the full
     # detect pass over every frame once per action (the "upload" is a
     # one-time event in the reference too — web/views.py:144-169)
     targets = first_faces_targets(frames).localCheckpoint(eager=True)
-    return face_pipeline(frames, targets)
+    out = face_pipeline(frames, targets)
+    annot_ok = (
+        (F.col("n_faces") == 0) & (F.col("annotated_len") == 39)
+    ) | ((F.col("n_faces") > 0) & (F.col("annotated_len") > 39))
+    return out.select(
+        "camera", "frame_num", "n_faces", "prediction", annot_ok.alias("annot_ok")
+    )

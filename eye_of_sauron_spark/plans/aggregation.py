@@ -128,17 +128,40 @@ def multi_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", oracle=None)
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the
-    100 TB replacement for exact distinct. Rows-only check: HLL
-    estimates are engine-specific so no DuckDB oracle;
-    tests/test_aggregates.py bounds the error against exact
-    countDistinct instead."""
+    100 TB replacement for exact distinct. HLL estimates are
+    engine-specific, so the sketch itself can't be hash-compared;
+    instead the error bound IS the contract: ``within_bound`` is
+    computed IN-PLAN (|approx - exact| <= max(1, 5% of exact); rsd
+    0.01 makes 5% a ~5-sigma bound) and the DuckDB oracle asserts it
+    is constant TRUE alongside the exact counts. The exact
+    countDistinct exists only to evaluate the sketch at test scale —
+    at 100 TB you'd run the approx column alone."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    bound = F.greatest(F.lit(1.0), F.col("exact_users") * 0.05)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
+            "within_bound"
+        ),
     )
 
 
@@ -274,31 +297,48 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_quantiles_value", oracle=None)
+@query(
+    "sketch_quantiles_value",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style mergeable quantile sketch) per
     event_type — the 100 TB replacement for exact percentiles (the
     exact path is median_percentiles_value): one partial+final
-    aggregate, sketch size O(1/accuracy), no global sort. Rows-only
-    check: sketch estimates are engine-specific;
-    tests/test_aggregates.py bounds the rank error against the exact
-    percentile instead.
+    aggregate, sketch size O(1/accuracy), no global sort.
 
-    The sketch is unpacked into three scalar double columns (p50/p90/
-    p99) rather than returned as one array<double> — the driver's
-    canonicalizer sorts a pandas frame over every column and dies on
-    unhashable list cells (CORRECTNESS_r02 err)."""
+    Sketch estimates are engine-specific, so the estimates can't be
+    hash-compared; the rank-error guarantee IS the contract, computed
+    IN-PLAN: for each q the approx value must lie between the exact
+    percentiles at q +/- 0.01 (accuracy=10000 guarantees rank error
+    <= n/10000, 100x tighter than the asserted window). The DuckDB
+    oracle asserts the three booleans are constant TRUE. The exact
+    percentiles exist only to evaluate the sketch at test scale — at
+    100 TB you'd ship the sketch alone. tests/test_aggregates.py
+    additionally checks the raw rank error."""
     events = _t(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    exact_qs = [0.49, 0.51, 0.89, 0.91, 0.98, 1.0]
     sketched = events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        F.percentile_approx("value", qs, 10_000).alias("ap"),
+        F.percentile("value", F.lit(exact_qs)).alias("ex"),
         F.count("*").alias("n_events"),
     )
+    def ok(i: int) -> F.Column:
+        lo = F.try_element_at("ex", F.lit(2 * i + 1)) - F.lit(1e-9)
+        hi = F.try_element_at("ex", F.lit(2 * i + 2)) + F.lit(1e-9)
+        a = F.try_element_at("ap", F.lit(i + 1))
+        return (a >= lo) & (a <= hi)
     return sketched.select(
         "event_type",
-        F.try_element_at("approx_pcts", F.lit(1)).alias("p50"),
-        F.try_element_at("approx_pcts", F.lit(2)).alias("p90"),
-        F.try_element_at("approx_pcts", F.lit(3)).alias("p99"),
         "n_events",
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p90_ok"),
+        ok(2).alias("p99_ok"),
     )
 
 

@@ -103,7 +103,7 @@ def test_face_pipeline_end_to_end(spark, sf_dir):
             "frame_num",
             "n_faces",
             "prediction",
-            "annotated_len",
+            "annot_ok",
         ]
         total = out.count()
         assert total > 0
@@ -115,8 +115,9 @@ def test_face_pipeline_end_to_end(spark, sf_dir):
         assert out.filter("prediction != 'Unknown'").count() >= 1
         # zero-face frames predict Unknown
         assert out.filter("n_faces = 0 AND prediction != 'Unknown'").count() == 0
-        # annotated payload is always at least the 32-byte fake image
-        assert out.filter("annotated_len < 32").count() == 0
+        # the in-plan annotate contract holds on every frame (39 bytes
+        # exactly for zero faces, strictly more once faces render)
+        assert out.filter("NOT annot_ok").count() == 0
     finally:
         out.unpersist()
 

@@ -177,11 +177,14 @@ def test_centroid_stats_shape_and_norm_bound(spark, sf_dir):
     rows = QUERIES["embedding_centroid_stats"](spark, sf_dir).collect()
     assert {r.label for r in rows} == set(range(10))
     for r in rows:
-        assert len(r.centroid_micro) == 64  # full dim, reassembled in order
+        # centroid_micro is a comma-joined string since the r07 driver
+        # canonicalization (plans/vector.py) — parse before asserting
+        centroid = [int(v) for v in r.centroid_micro.split(",")]
+        assert len(centroid) == 64  # full dim, reassembled in order
         assert r.n_vecs >= 1
         # Jensen: the centroid's norm can never exceed the mean norm
         # (micro-unit quantization slack: dim * 1 micro per component)
-        norm_c = sum(v * v for v in r.centroid_micro) ** 0.5
+        norm_c = sum(v * v for v in centroid) ** 0.5
         assert norm_c <= r.avg_norm_micro + 64
 
 
@@ -248,7 +251,7 @@ def test_kmeans_step_partitions_the_corpus(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n_vecs  # exact partition
     assert len(rows) <= 8 and rows
     for r in rows:
-        assert len(r.centroid_micro) == 64
+        assert len([int(v) for v in r.centroid_micro.split(",")]) == 64
         assert r.inertia_micro >= 0
         assert 0 <= r.cluster_id < 8
 
