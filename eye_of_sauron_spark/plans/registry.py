@@ -40,76 +40,65 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r07 rotation (50 slots) ---
-    # 1) the three r06 reds — output schema flattened (ArrayType ->
-    # comma-joined string) so the driver canonicalizer can hash them
-    "kafka_decode_replay",
-    "embedding_centroid_stats",
-    "kmeans_lloyd_step",
-    # 2) the 13 queries that have NEVER had a driver row (deferred past
-    # the r06 cut; VERDICT r06 #2)
-    "join_bucketed_colocated",
-    "jsonl_roundtrip_ingest",
-    "csv_roundtrip_ingest",
-    "compact_small_files",
-    "schema_evolution_ingest",
-    "zorder_cluster_events",
-    "embedding_int8_quantize",
-    "funnel_view_click_purchase",
-    "quality_filter_pipeline",
-    "mixture_cap_per_source",
-    "window_time_range_rolling",
-    "dedup_substring_spans",
-    "decontaminate_ngram_overlap",
-    # 3) new registrations this round (never driver-checked)
-    "stream_reorder_overflow_replay",
-    # 4) the r04-stale block (VERDICT r06 #4) — last driver row 3 rounds
-    # ago; ml/pipeline.py was touched in r05-r06, so its two lead
+    # --- r08 rotation (50 slots) ---
+    # 1) queries whose OUTPUT CONTRACT changed this round (the
+    # rows-only trio converted to hash-checkable oracles; VERDICT r07
+    # #6) — they need fresh driver rows under the new schemas
     "ml_face_pipeline",
-    "ml_match_first_target",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "grouped_map_session_stats",
-    "sql_revenue_top_nations",
-    "correlated_subquery_above_avg",
-    "flagship_purchases_by_nation",
-    "pricing_summary",
-    "join_revenue_by_priority",
-    "semi_join_active_customers",
-    "anti_join_silent_customers",
-    "outer_join_order_count_histogram",
-    "doc_fingerprint",
-    "text_pii_scrub",
-    "deterministic_sample_documents",
-    "text_chunking",
-    "window_rank_customers",
-    "window_running_total",
-    "window_lag_event_gaps",
-    "window_moving_avg",
-    "window_lead_transitions",
-    "window_ntile_spend_quartiles",
-    "window_first_match_semantics",
-    "multimodal_image_stats",
-    "multimodal_frame_sample",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    # --- the ~50-slot cut lands here (47 above + new regs below) ---
-    # 5) r05-stale block re-greens as slots allow; queries whose SOURCE
-    # changed since their last row lead it
-    "corr_hourly_click_purchase",   # robust.py denominator reworked r07
-    "heavy_hitters_users",          # aggregation.py null-key guard r07
     "approx_distinct_users",
     "sketch_quantiles_value",
-    "tfidf_top_terms",
+    # 2) the complete latest-r05 block (VERDICT r07 #2) — no driver
+    # row in 2 rounds; after this round nothing is older than r06
+    "array_vector_scalars",
+    "asof_join_click_before_purchase",
+    "binary_base64_codec",
+    "conditional_agg_event_matrix",
+    "cross_join_region_pairs",
+    "cube_quantity",
+    "datetime_bucketing",
+    "dedup_cluster_multimodal",
+    "dedup_simhash",
+    "filter_projection_pushdown",
+    "grouping_sets_mixed",
+    "histogram_value_buckets",
+    "interval_join_activity_before_error",
+    "json_extract_props",
+    "json_map_explode",
+    "json_serialize_roundtrip",
+    "median_percentiles_value",
+    "minmax_by_segment",
+    "multi_distinct_by_priority",
+    "multimodal_frame_features",
+    "multimodal_resize",
+    "pack_sequences",
+    "pivot_event_counts",
+    "reorder_replay",
+    "rollup_orders_by_month",
+    "setop_except_customers",
+    "setop_intersect_nations",
+    "setop_union_nations",
     "similarity_topk_cosine",
     "similarity_topk_ivf",
-    "dedup_simhash",
-    "dedup_cluster_multimodal",
-    "reorder_replay",
+    "split_train_val_test",
+    "stats_acctbal_by_nation",
+    "stream_dedup_replay",       # also: r07 driver bench showed 1.36x — confirm
     "stream_join_replay",
-    "stream_dedup_replay",
     "stream_static_match_replay",
+    "string_filename_parse",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_term_stats",
+    "text_token_counts",
+    "tfidf_top_terms",
+    "theta_join_acctbal_dominance",
+    "topk_orders_by_price",
+    "topk_per_group_orders",
+    "unpivot_part_metrics",
+    # 3) r06 stragglers with open perf questions (VERDICT r07 #3/#5)
+    "similarity_sq8_recall",
+    # --- the ~50-slot cut lands here ---
+    "stream_funnel_replay",
 )
 
 
