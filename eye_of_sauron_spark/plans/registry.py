@@ -47,6 +47,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ml_face_pipeline",
     "approx_distinct_users",
     "sketch_quantiles_value",
+    "corr_hourly_click_purchase",  # r08 overflow-safe division rework
     # 2) the complete latest-r05 block (VERDICT r07 #2) — no driver
     # row in 2 rounds; after this round nothing is older than r06
     "array_vector_scalars",

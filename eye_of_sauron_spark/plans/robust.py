@@ -288,22 +288,6 @@ def corr_hourly_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = F.col("n") * F.col("qx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")
-    # exact integer floor division (`div` / DuckDB `//`): a decimal
-    # `/` rounds the quotient at its result scale, and floor() of a
-    # rounded quotient can disagree with the oracle's truncation when
-    # the true ratio sits within half an ulp of an integer.
-    #
-    # Two-step division, never the vx*vy product: for non-negative a
-    # and positive m, n, floor(floor(a/m)/n) == floor(a/(m*n)), so
-    # dividing by the LARGER variance first is exact and keeps every
-    # intermediate in range. Magnitude bound (documented, like the
-    # z-score pass): exact while 10^6*num^2 < 10^38, i.e. |num| <=
-    # 3.1e15 — with H hours and hourly-count std-devs sx_, sy_ that is
-    # num ~ H^2*sx_*sy_*r, so a decade of hourly data (H ~ 9e4) stays
-    # exact up to ~6e2 events/hour of co-fluctuation, and ~100x more
-    # headroom than the single-division vx*vy form this replaces.
-    # Constant series (vx or vy = 0) yield NULL r2_ppm on BOTH engines
-    # instead of Spark-NULL-vs-DuckDB-error divergence.
     parts = m.select(
         F.col("n").cast("bigint").alias("n_hours"),
         F.signum(num).cast("int").alias("sign"),
@@ -314,9 +298,40 @@ def corr_hourly_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         "n_hours",
         "sign",
-        F.expr(
-            "CAST(CASE WHEN vx = 0 OR vy = 0 THEN NULL"
-            "          WHEN vx >= vy THEN (num2 div vx) div vy"
-            "          ELSE (num2 div vy) div vx END AS BIGINT)"
-        ).alias("r2_ppm"),
+        _r2_ppm_exact(F.col("num2"), F.col("vx"), F.col("vy")).alias("r2_ppm"),
     )
+
+
+def _r2_ppm_exact(num2, vx, vy):
+    """``floor(num2 / (vx * vy))`` as BIGINT, exact for ANY operands
+    that fit decimal(38,0); NULL when either variance is zero (on both
+    engines — the oracle's CASE mirrors this).
+
+    Exact integer floor division (DuckDB ``//``): a decimal ``/``
+    rounds the quotient at its result scale, so ``fdiv(a, b) =
+    (a - a %% b) / b`` subtracts the remainder first — the division is
+    then exact and no rounding can disagree with the oracle's
+    truncation. Two-step, never the vx*vy product (which overflows
+    decimal(38,0) first): for non-negative a and positive m, n,
+    floor(floor(a/m)/n) == floor(a/(m*n)).
+
+    Why not Spark's ``div``: ``div`` casts EACH quotient to BIGINT, and
+    the intermediate ``num2 div max(vx,vy)`` is bounded only by
+    10^6 * min(vx,vy) — a large co-varying series (min variance above
+    ~9.2e12, e.g. a decade of hourly counts with std ~1e3) overflows
+    Long even though num2 fits decimal(38,0), yielding Spark
+    NULL-or-error vs a DuckDB HUGEINT value (r07 advice). Here the
+    intermediate quotient stays decimal: it is an exact integer
+    <= min(10^6 * vmin, 10^38 / vmax) <= 10^22 (maximized at
+    vmin = vmax = 10^16), inside decimal(38,6)'s 10^32 integer range;
+    only the FINAL quotient — <= 10^6, since r^2 <= 1 — casts to
+    BIGINT. Overall bound unchanged and documented (like the z-score
+    pass): exact while 10^6*num^2 < 10^38, i.e. |num| <= 3.1e15; with
+    H hours and hourly std-devs sx_, sy_ that is num ~ H^2*sx_*sy_*r,
+    so a decade of hourly data (H ~ 9e4) stays exact up to ~6e2
+    events/hour of co-fluctuation."""
+    vmax, vmin = F.greatest(vx, vy), F.least(vx, vy)
+    q1 = (num2 - num2 % vmax) / vmax  # exact integer, decimal(38,6)
+    q2 = (q1 - q1 % vmin) / vmin      # exact integer <= 10^6
+    # the when() guard also keeps ANSI mode from evaluating /0 rows
+    return F.when(vmin > F.lit(0).cast("decimal(38,0)"), q2.cast("bigint"))
