@@ -64,3 +64,76 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------- bucketed-key variant (per-group-tax probe)
+
+BUCKET_STATE_SCHEMA = "users ARRAY<LONG>, masks ARRAY<INT>"
+
+
+def funnel_progress_bucketed(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """One state-store group per user BUCKET: the per-user 3-bit masks
+    live as parallel arrays inside the bucket's state row, and the
+    per-user machines run in a dict inside one pandas pass. Semantics
+    identical to funnel_progress — the bucket-wide (ts, event_id) sort
+    preserves every user's ordered subsequence.
+
+    Why this exists: applyInPandasWithState pays a fixed pandas/Arrow
+    tax PER GROUP PER MICRO-BATCH (state row decode, DataFrame
+    assembly, generator step), so with K active users per batch the
+    per-user keying pays it K times; bucketing pays it ~n_buckets
+    times and amortizes the rest across users (SCALE.md funnel probe).
+    The trade: the WHOLE bucket's state deserializes/reserializes
+    every batch the bucket is touched, so cost shifts from
+    O(active users) to O(users in touched buckets) — right when most
+    users are active each batch (replay/backfill), wrong for sparse
+    activity over a huge keyspace. Measured comparison in SCALE.md."""
+    st: dict[int, int] = {}
+    if state.exists:
+        users, masks = state.get
+        st = dict(zip(users, masks))
+    out_users: list[int] = []
+    out_stages: list[str] = []
+    batches = list(pdfs)
+    if batches:
+        rows = pd.concat(batches).sort_values(["ts", "event_id"])
+        for uid, et in zip(rows["user_id"], rows["event_type"]):
+            m = st.get(uid, 0)
+            if et == "view" and not m & 1:
+                m |= 1
+                out_users.append(uid)
+                out_stages.append("1_view")
+            elif et == "click" and m & 1 and not m & 2:
+                m |= 2
+                out_users.append(uid)
+                out_stages.append("2_click")
+            elif et == "purchase" and m & 2 and not m & 4:
+                m |= 4
+                out_users.append(uid)
+                out_stages.append("3_purchase")
+            st[uid] = m
+    state.update((list(st.keys()), list(st.values())))
+    if out_users:
+        yield pd.DataFrame({"user_id": out_users, "stage": out_stages})
+
+
+def funnel_stream_bucketed(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """funnel_stream with bucketed state keys (user_id % n_buckets).
+    Pick n_buckets ~ a few per core: large enough to parallelize and
+    keep per-bucket state rows bounded, small enough to amortize the
+    per-group tax."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            funnel_progress_bucketed,
+            OUTPUT_SCHEMA,
+            BUCKET_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
