@@ -40,66 +40,61 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r08 rotation (50 slots) ---
-    # 1) queries whose OUTPUT CONTRACT changed this round (the
-    # rows-only trio converted to hash-checkable oracles; VERDICT r07
-    # #6) — they need fresh driver rows under the new schemas
-    "ml_face_pipeline",
-    "approx_distinct_users",
-    "sketch_quantiles_value",
-    "corr_hourly_click_purchase",  # r08 overflow-safe division rework
-    # 2) the complete latest-r05 block (VERDICT r07 #2) — no driver
-    # row in 2 rounds; after this round nothing is older than r06
-    "array_vector_scalars",
-    "asof_join_click_before_purchase",
-    "binary_base64_codec",
-    "conditional_agg_event_matrix",
-    "cross_join_region_pairs",
-    "cube_quantity",
-    "datetime_bucketing",
-    "dedup_cluster_multimodal",
-    "dedup_simhash",
-    "filter_projection_pushdown",
-    "grouping_sets_mixed",
-    "histogram_value_buckets",
-    "interval_join_activity_before_error",
-    "json_extract_props",
-    "json_map_explode",
-    "json_serialize_roundtrip",
-    "median_percentiles_value",
-    "minmax_by_segment",
-    "multi_distinct_by_priority",
-    "multimodal_frame_features",
-    "multimodal_resize",
-    "pack_sequences",
-    "pivot_event_counts",
-    "reorder_replay",
-    "rollup_orders_by_month",
-    "setop_except_customers",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "similarity_topk_cosine",
-    "similarity_topk_ivf",
-    "split_train_val_test",
-    "stats_acctbal_by_nation",
-    "stream_dedup_replay",       # also: r07 driver bench showed 1.36x — confirm
-    "stream_join_replay",
-    "stream_static_match_replay",
-    "string_filename_parse",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_term_stats",
-    "text_token_counts",
-    "tfidf_top_terms",
-    "theta_join_acctbal_dominance",
-    "topk_orders_by_price",
-    "topk_per_group_orders",
-    "unpivot_part_metrics",
-    # 3) r06 stragglers with open perf questions (VERDICT r07 #3/#5)
+    # --- r09 rotation (48 entries, all inside the ~50-slot cut) ---
+    # 1) NEW this round — no driver row yet: the bucketed stateful
+    # funnel (per-group-tax mitigation, VERDICT r08 #1)
+    "stream_funnel_bucketed_replay",
+    # 2) the complete latest-r06 block (VERDICT r08 #2) — after this
+    # round no query's evidence predates r07. Includes the
+    # similarity_*_recall family whose bench creep r08 flagged.
+    "anomaly_zscore_events",
+    "cdc_latest_snapshot",
+    "cohort_retention_orders",
+    "curation_pipeline_e2e",
+    "dataset_diff_snapshots",
+    "decontam_source_overlap_matrix",
+    "dedup_cluster_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_incremental_corpus",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "event_sequence_trigrams",
+    "graph_triangle_census",
+    "histogram_equi_depth_value",
+    "join_salted_skew",
+    "market_basket_part_pairs",
+    "mixture_temperature_sample",
+    "pca_power_iteration",
+    "profile_events_columns",
+    "range_join_time_buckets",
+    "scd2_merge_customers",
+    "similarity_ivf_recall",
+    "similarity_lsh_recall",
     "similarity_sq8_recall",
-    # --- the ~50-slot cut lands here ---
+    "similarity_topk_lsh",
+    "similarity_topk_sq8_rerank",
+    "skyline_pareto_orders",
+    "stream_cdc_apply_replay",
     "stream_funnel_replay",
+    "stream_left_join_replay",
+    "stream_rebroadcast_replay",
+    "stream_restart_replay",
+    "stream_session_replay",
+    "stream_update_mode_replay",
+    "stream_window_replay",       # also: r07 bench showed 1.36x — confirm
+    "text_bigram_lm",
+    "text_char_diversity",
+    "text_lm_score",
+    "textrank_keywords",
+    "timeseries_gap_fill",
+    "timeseries_ohlc_resample",
+    "validate_events_expectations",
+    "window_percent_rank_acctbal",
+    "winsorize_values_by_type",
+    # 3) r07 queries with open bench questions (VERDICT r08 #6)
+    "zorder_cluster_events",      # 1.81x drift r07->r08 — confirm
+    "sketch_quantiles_value",     # r09 small-group clamp — re-green
 )
 
 

@@ -89,7 +89,8 @@ def funnel_progress_bucketed(
     every batch the bucket is touched, so cost shifts from
     O(active users) to O(users in touched buckets) — right when most
     users are active each batch (replay/backfill), wrong for sparse
-    activity over a huge keyspace. Measured comparison in SCALE.md."""
+    activity over a huge keyspace. Measured comparison in SCALE.md
+    ("Bucketed-funnel probe", round 9)."""
     st: dict[int, int] = {}
     if state.exists:
         users, masks = state.get
@@ -126,8 +127,13 @@ def funnel_stream_bucketed(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     per-group tax."""
     from pyspark.sql import functions as F
 
+    # a NULL user_id would coerce the pandas user_id column to float64
+    # and corrupt the ARRAY<LONG> state keys; the per-user form is
+    # immune (the key arrives via the group tuple, not the column), so
+    # drop NULLs here to keep the two forms output-equivalent
     return (
-        events.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        events.filter(F.col("user_id").isNotNull())
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
         .groupBy("bucket")
         .applyInPandasWithState(
             funnel_progress_bucketed,

@@ -1460,3 +1460,47 @@ def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.join(counts, "stage", "left").select(
         "stage", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_users")
     )
+
+
+@query("stream_funnel_bucketed_replay", oracle=_FUNNEL_REPLAY_ORACLE)
+def stream_funnel_bucketed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_funnel_replay's exact semantics through the BUCKETED
+    state layout (streaming/funnel.py::funnel_stream_bucketed): one
+    state-store group per user-id bucket, per-user 3-bit masks as
+    parallel arrays inside the bucket row. Same oracle, same
+    per-stage emission counts — what this adds is driver proof that
+    the per-group-tax mitigation is output-equivalent to the per-user
+    form (applyInPandasWithState pays a fixed pandas/Arrow cost PER
+    GROUP PER MICRO-BATCH; bucketing pays it n_buckets times instead
+    of active-users times — measured 10x comparison in SCALE.md,
+    "Bucketed-funnel probe")."""
+    from .funnel import funnel_stream_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="funnel_bucketed_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _FUN_BATCHES), "batch", _FUN_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
+    )
+    try:
+        with _scoped_shuffle(spark, _FUN_BATCHES):
+            emitted = run_to_memory(
+                funnel_stream_bucketed(stream, n_buckets=64),
+                f"funnel_bucketed_replay_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stages = spark.createDataFrame(
+        [("1_view",), ("2_click",), ("3_purchase",)], "stage STRING"
+    )
+    counts = emitted.groupBy("stage").agg(F.count("*").alias("n"))
+    return stages.join(counts, "stage", "left").select(
+        "stage", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_users")
+    )

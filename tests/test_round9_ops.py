@@ -27,3 +27,46 @@ def test_sketch_contract_survives_tiny_groups(spark, tmp_path):
     assert len(out) == 2
     for r in out:
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
+
+
+def _run_funnel(spark, sf_dir, tmp_path, build, tag):
+    """Replay sf events as 8 micro-batches through a funnel operator
+    and return the full emitted (user_id, stage) row set."""
+    from eye_of_sauron_spark.sources.tables import load_table
+    from eye_of_sauron_spark.streaming.harness import (
+        file_stream,
+        run_to_memory,
+        write_microbatch_files_partitioned,
+    )
+    from eye_of_sauron_spark.streaming.replay import _time_sliced
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    work = str(tmp_path / tag)
+    write_microbatch_files_partitioned(_time_sliced(ev, 8), "batch", 8, f"{work}/in")
+    stream = file_stream(
+        spark,
+        f"{work}/in",
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
+    )
+    emitted = run_to_memory(build(stream), f"funnel_parity_{tag}", f"{work}/ckpt")
+    return sorted((r["user_id"], r["stage"]) for r in emitted.collect())
+
+
+def test_funnel_bucketed_matches_per_user_rowwise(spark, sf_dir, tmp_path):
+    """The bucketed state layout must emit the IDENTICAL row set as
+    the per-user form — not just equal per-stage counts (which the
+    shared driver oracle already pins): every (user_id, stage)
+    completion, each exactly once, surviving micro-batch boundaries."""
+    from eye_of_sauron_spark.streaming.funnel import (
+        funnel_stream,
+        funnel_stream_bucketed,
+    )
+
+    per_user = _run_funnel(spark, sf_dir, tmp_path, funnel_stream, "user")
+    bucketed = _run_funnel(
+        spark, sf_dir, tmp_path, lambda s: funnel_stream_bucketed(s, 16), "bucket"
+    )
+    assert per_user == bucketed
+    assert len(per_user) > 0
