@@ -23,12 +23,31 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "eye_of_sauron_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str = "hdfs",
 ) -> SparkSession:
-    """Build (or fetch) the session with scale-aware defaults."""
+    """Build (or fetch) the session with scale-aware defaults.
+
+    ``state_store``: ``"hdfs"`` (default — executor-heap
+    HDFSBackedStateStoreProvider) or ``"rocksdb"`` (off-heap local
+    RocksDB + changelog). The default heap provider holds EVERY
+    stateful operator's keys in executor memory — fine at test scale,
+    but the 10x stream-dedup probe already measures 348 MB of heap
+    state (SCALE.md), which at 100x is multi-GB per executor and
+    evicts the working set. RocksDB keeps state on local SSD with a
+    block-cache, so state capacity scales with disk, not heap — the
+    standard choice for large-state production streams. Results are
+    provider-independent (pinned by tests/test_round9_ops.py); it is
+    a runtime SQL conf, so it can also be flipped per-query before
+    ``start()`` on an existing session."""
     cpus = _DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
@@ -65,6 +84,18 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        ).config(
+            # changelog checkpointing ships per-batch deltas instead of
+            # full RocksDB snapshots — the commit path stays O(changed
+            # keys) as total state grows
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif state_store != "hdfs":
+        raise ValueError(f"state_store must be 'hdfs' or 'rocksdb', got {state_store!r}")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

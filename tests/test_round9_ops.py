@@ -70,3 +70,37 @@ def test_funnel_bucketed_matches_per_user_rowwise(spark, sf_dir, tmp_path):
     )
     assert per_user == bucketed
     assert len(per_user) > 0
+
+
+def test_stateful_replay_identical_under_rocksdb_state_store(
+    spark, sf_dir, tmp_path
+):
+    """The state-store provider is an executor-capacity knob, never a
+    semantics knob: the same stateful replay must emit the identical
+    row set under the default heap provider and RocksDB (the 100x
+    choice — state on local SSD, not executor heap; SCALE.md
+    'RocksDB state-store probe'). providerClass is a runtime SQL conf
+    read at stream start, so it flips per-query on a live session."""
+    from eye_of_sauron_spark.session import _ROCKSDB_PROVIDER
+    from eye_of_sauron_spark.streaming.funnel import funnel_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    assert "RocksDB" not in default
+    heap = _run_funnel(spark, sf_dir, tmp_path, funnel_stream, "heap")
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        rocks = _run_funnel(spark, sf_dir, tmp_path, funnel_stream, "rocks")
+    finally:
+        spark.conf.set(key, default)
+    assert heap == rocks
+    assert len(heap) > 0
+
+
+def test_get_spark_rejects_unknown_state_store():
+    import pytest
+
+    from eye_of_sauron_spark.session import get_spark
+
+    with pytest.raises(ValueError, match="state_store"):
+        get_spark(state_store="leveldb")
