@@ -339,35 +339,64 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     )
-    cent_cos = cosine_spark(F.col("embedding"), F.col("ce"))
-    w_cell = W.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
+    # fold the whole centroid set into ONE broadcast row of (cid, ce)
+    # structs: cell assignment and probe selection then run as NARROW
+    # higher-order-function passes (per-row argmax over the array) —
+    # no corpus x cells explode, no shuffle, no per-vec_id ranking
+    # window. At 100 TB this is the difference between a map-side-only
+    # assignment and shuffling corpus x cells rows into a window sort;
+    # it also collapses the local plan from 4 jobs to 2.
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents")
     )
+
+    def _cell_scores(vec: F.Column) -> F.Column:
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine_spark(vec, c["ce"]).alias("cos"), c["cid"].alias("cid")
+            ),
+        )
+
+    def _by_cos_desc(left: F.Column, right: F.Column) -> F.Column:
+        # mirror the old window's ORDER BY cos DESC, cid ASC with
+        # NULLs (zero-norm vectors) last: cosine >= -1, so -2 sorts
+        # a NULL below every real score
+        lc = F.coalesce(left["cos"], F.lit(-2.0))
+        rc = F.coalesce(right["cos"], F.lit(-2.0))
+        return (
+            F.when(lc > rc, F.lit(-1))
+            .when(lc < rc, F.lit(1))
+            .when(left["cid"] < right["cid"], F.lit(-1))
+            .when(left["cid"] > right["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     assigned = (
         _spread(emb, "vec_id")
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cent_cos.alias("ccos"))
-        .withColumn("rc", F.row_number().over(w_cell))
-        .filter(F.col("rc") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_sort(_cell_scores(F.col("embedding")), _by_cos_desc)[0][
+                "cid"
+            ].alias("cell"),
+        )
     )
     probes = (
         emb.filter(F.expr(_QUERY_FILTER))
-        .crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(cent_row))
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
-            "cid",
-            cent_cos.alias("ccos"),
+            F.explode(
+                F.slice(
+                    F.array_sort(_cell_scores(F.col("embedding")), _by_cos_desc),
+                    1,
+                    _IVF_NPROBE,
+                )["cid"]
+            ).alias("cell"),
         )
-        .withColumn(
-            "rc",
-            F.row_number().over(
-                W.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("rc") <= _IVF_NPROBE)
-        .select("qid", "qe", F.col("cid").alias("cell"))
     )
     cos = cosine_spark(F.col("qe"), F.col("embedding"))
     w_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid_cand").asc())

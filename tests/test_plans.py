@@ -555,3 +555,20 @@ class _no_broadcast:
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev_thr)
         self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)
+
+
+def test_ivf_assignment_is_narrow_no_window_shuffle(spark, sf_dir):
+    # r09: cell assignment / probe selection fold the broadcast
+    # centroid array per-row (argmax via array_sort comparator) — the
+    # corpus side must touch exactly TWO exchanges (_spread + the
+    # final ranking window) and ONE Window (the final per-query
+    # top-k, with its map-side WindowGroupLimit). A regression to the
+    # crossJoin+window assignment shape doubles both counts and
+    # shuffles corpus x cells rows.
+    import re
+
+    p = _plan(spark, sf_dir, "similarity_topk_ivf")
+    assert len(re.findall(r"\bWindow\b", p)) == 1
+    assert "WindowGroupLimit" in p
+    n_shuffle = len(re.findall(r"\bExchange hashpartitioning", p))
+    assert n_shuffle <= 2, p
