@@ -54,32 +54,38 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # best-of-2 per query: single-JVM runs accumulate GC/JIT noise that
-    # can swing one cold measurement 2-3x; the min is the stable
-    # regression signal
+    # best-of-2 per query by default: single-JVM runs accumulate
+    # GC/JIT noise that can swing one cold measurement 2-3x; the min
+    # is the stable regression signal. For local drift triage set
+    # SPARK_GRAFT_BENCH_RUNS=3 SPARK_GRAFT_BENCH_STAT=median — the
+    # median of 3 separates a real plan regression from one
+    # contention-inflated sample (SCALE.md "Benchmark variance note").
     # fault-isolated per query: one broken plan must never zero the
     # whole round's perf record (BENCH_r04 died with no numbers when a
     # single query raised at plan construction) — failures are recorded
     # as {"err": ...} rows and the run keeps going
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
+    pick = min if stat == "best" else (lambda ts: sorted(ts)[len(ts) // 2])
     times: dict[str, object] = {}
     errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
-        best = float("inf")
+        samples: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
-            times[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(pick(samples), 3)
         except Exception as exc:  # noqa: BLE001 — survive any one query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     wall = round(time.perf_counter() - t_all, 3)
 
     out = {
-        "metric": "sum_best_of_2_query_sec",
+        "metric": f"sum_{stat}_of_{n_runs}_query_sec",
         "value": round(sum(t for t in times.values() if isinstance(t, float)), 3),
         "unit": "sec",
         "queries": {**times, **{n: {"err": e} for n, e in errors.items()}},
