@@ -345,7 +345,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no corpus x cells explode, no shuffle, no per-vec_id ranking
     # window. At 100 TB this is the difference between a map-side-only
     # assignment and shuffling corpus x cells rows into a window sort;
-    # it also collapses the local plan from 4 jobs to 2.
+    # locally it also drops the window's exchange materialization
+    # (status-tracker: 7 jobs -> 6, wall warm-identical at sf0.1 —
+    # the win is the shape, not the local clock; SCALE.md
+    # "similarity_*_recall drift triage").
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents")
     )
