@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.hashing import hex32_duck, hex32_spark
-from ..functions.text import shingles_duck, shingles_spark
+from ..functions.text import shingles_duck, shingles_spark, tokens_spark
 from ..sources import load_table
 from .registry import query
 
@@ -276,4 +276,151 @@ def decontam_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared_spans"))
+    )
+
+
+_COV_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, lang, u.pos AS pos, u.span AS span FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks) - {_SPAN_N - 2}),
+                       i -> struct_pack(pos := i,
+                            span := array_to_string(
+                                list_slice(toks, i, i + {_SPAN_N - 1}), ' ')))) AS u
+            FROM base
+        )
+    ),
+    dup AS (
+        SELECT lang, span
+        FROM (SELECT DISTINCT doc_id, lang, span FROM occ)
+        GROUP BY lang, span HAVING count(*) >= 2
+    ),
+    d_occ AS (
+        SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (lang, span)
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + {_SPAN_N - 1}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM d_occ
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS gid
+        FROM brk
+    ),
+    cov AS (
+        SELECT doc_id, sum(n) AS covered FROM (
+            SELECT doc_id, gid, max(pos + {_SPAN_N - 1}) - min(pos) + 1 AS n
+            FROM isl GROUP BY doc_id, gid
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(c.covered, 0) * 1000000
+                // greatest(len(b.toks), 1) AS BIGINT) AS coverage_ppm
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@query("dedup_span_coverage", oracle=_COV_SQL)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span token coverage — the doc-level
+    companion to dedup_substring_spans (which reports the per-LANG
+    rollup): for every document, how many of its tokens sit inside at
+    least one 8-token span that >= 2 same-language documents contain.
+    coverage_ppm is the drop-the-document criterion of
+    substring-level dedup policies ("discard documents that are
+    mostly verbatim-repeated text"); the fixture's planted near-exact
+    duplicates surface at ~1e6 ppm.
+
+    Unlike the shingle-based operators, spans here keep their token
+    POSITION (occurrences, not the distinct-shingle set) because
+    coverage is a union of intervals: overlapping duplicated spans
+    must not double-count tokens. The union is the classic
+    gaps-and-islands merge — a running max(pos + n - 1) over each
+    document's duplicated-span starts splits islands, and covered
+    tokens are sum over islands of (max_end - min_start + 1).
+
+    Scale shape: three exchanges, all on natural keys — (lang, span)
+    for the document-frequency window (identical partitioning to
+    dedup_substring_spans), (lang, span) again for the dup-set
+    equi-join back to occurrences (AQE-planned; the dup set is
+    corpus-derived so it is NOT broadcast by hint), and doc_id for
+    the island merge, whose window state is one running max per
+    document. No pair list is ever emitted, so per-span cost is
+    O(occurrences), and the interval merge makes per-document cost
+    O(dup occurrences log) regardless of how pathologically spans
+    overlap. The position arithmetic is all BIGINT; coverage_ppm is
+    exact integer floor division, so the number is engine- and
+    partitioning-identical."""
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_spark(F.col("text"))
+    n_sh = F.size(toks) - (_SPAN_N - 1)
+    mk = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, _SPAN_N)).alias("span"),
+        ),
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        # sequence(1, k) counts DOWN for k < 1 — same guard as
+        # shingles_spark for sub-span-length documents
+        F.when(n_sh >= 1, mk).otherwise(F.array().cast("array<struct<pos:bigint,span:string>>")).alias("occs"),
+    )
+    occ = base.select(
+        "doc_id", "lang", F.explode_outer("occs").alias("o")
+    ).filter(F.col("o").isNotNull()).select(
+        "doc_id", "lang", F.col("o.pos").alias("pos"), F.col("o.span").alias("span")
+    )
+    df_win = F.size(F.collect_set("doc_id").over(W.partitionBy("lang", "span")))
+    dup = (
+        occ.select("doc_id", "lang", "span")
+        .distinct()
+        .withColumn("df", df_win)
+        .filter(F.col("df") >= 2)
+        .select("lang", "span")
+        .distinct()
+    )
+    d_occ = occ.join(dup, ["lang", "span"]).select("doc_id", "pos")
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (_SPAN_N - 1)).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = d_occ.withColumn(
+        "is_new",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    )
+    isl = brk.withColumn(
+        "gid", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    cov = (
+        isl.groupBy("doc_id", "gid")
+        .agg((F.max(F.col("pos") + (_SPAN_N - 1)) - F.min("pos") + 1).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("covered"))
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            covered.alias("covered_tokens"),
+            F.expr(
+                "CAST(coalesce(covered, 0) * 1000000 div greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
     )

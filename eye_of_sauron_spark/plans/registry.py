@@ -42,8 +42,10 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFY_FIRST: tuple[str, ...] = (
     # --- r09 rotation (48 entries, all inside the ~50-slot cut) ---
     # 1) NEW this round — no driver row yet: the bucketed stateful
-    # funnel (per-group-tax mitigation, VERDICT r08 #1)
+    # funnel (per-group-tax mitigation, VERDICT r08 #1) and the
+    # per-document duplicated-span coverage operator
     "stream_funnel_bucketed_replay",
+    "dedup_span_coverage",
     # 2) the complete latest-r06 block (VERDICT r08 #2) — after this
     # round no query's evidence predates r07. Includes the
     # similarity_*_recall family whose bench creep r08 flagged.

@@ -104,3 +104,46 @@ def test_get_spark_rejects_unknown_state_store():
 
     with pytest.raises(ValueError, match="state_store"):
         get_spark(state_store="leveldb")
+
+
+def test_span_coverage_interval_merge(spark, tmp_path):
+    """dedup_span_coverage's island merge on a hand-built corpus:
+    overlapping duplicated spans must count each covered token ONCE,
+    and single-occurrence (unique) spans must contribute nothing.
+
+    doc 0 and doc 1 share tokens a..i (9 tokens -> two overlapping
+    8-token spans at pos 1 and 2, merged island covers 9 tokens);
+    doc 2 is unique text and must report 0 coverage.
+    """
+    import duckdb
+
+    from eye_of_sauron_spark.plans.decontam import _COV_SQL, dedup_span_coverage
+
+    shared = "a b c d e f g h i"
+    rows = [
+        (0, shared + " unique0 tail0", "en", "src0", 0),
+        (1, shared + " unique1 other1", "en", "src0", 0),
+        (2, "w x y z only once here appearing solo now", "en", "src1", 0),
+    ]
+    cols = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    sf = str(tmp_path / "sfcov")
+    (tmp_path / "sfcov").mkdir()
+    spark.createDataFrame(rows, cols).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["coverage_ppm"])
+        for r in dedup_span_coverage(spark, sf).collect()
+    }
+    # 11 tokens/doc; 9 covered by the merged island (pos 1..9), not
+    # 16 (2 spans x 8 unmerged) and not 8 (missing the second span)
+    assert got[0] == (11, 9, 9 * 1_000_000 // 11)
+    assert got[1] == (11, 9, 9 * 1_000_000 // 11)
+    assert got[2] == (10, 0, 0)
+
+    # the DuckDB oracle agrees on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(_COV_SQL).fetchall()}
+    assert want == got
