@@ -572,3 +572,21 @@ def test_ivf_assignment_is_narrow_no_window_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in p
     n_shuffle = len(re.findall(r"\bExchange hashpartitioning", p))
     assert n_shuffle <= 2, p
+
+
+def test_span_coverage_joins_on_span_key(spark, sf_dir):
+    # r09: the dup-set join back to occurrences must hash on the
+    # (lang, span) KEY — the r05 lesson from dedup_embedding_cosine:
+    # an ambiguous column name can silently demote an equi join to a
+    # looser key + filter while results stay accidentally right at
+    # fixture scale. Accept either physical strategy (AQE may pick
+    # broadcast locally, SMJ at scale); in both, span must be in the
+    # hashed/broadcast key list, and the doc_id island-merge window
+    # must be partitioned (no global sort).
+    import re
+
+    p = _plan(spark, sf_dir, "dedup_span_coverage")
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, span#\d+\]", p
+    ), p
+    assert re.search(r"Window .*windowspecdefinition\(doc_id#\d+L", p), p
