@@ -113,7 +113,9 @@ def test_span_coverage_interval_merge(spark, tmp_path):
 
     doc 0 and doc 1 share tokens a..i (9 tokens -> two overlapping
     8-token spans at pos 1 and 2, merged island covers 9 tokens);
-    doc 2 is unique text and must report 0 coverage.
+    doc 2 is unique text and must report 0 coverage; doc 3 is SHORTER
+    than one span (3 tokens) and exercises the sequence(1, k<1)
+    count-down guard — it must still appear, with 0 coverage.
     """
     import duckdb
 
@@ -124,6 +126,7 @@ def test_span_coverage_interval_merge(spark, tmp_path):
         (0, shared + " unique0 tail0", "en", "src0", 0),
         (1, shared + " unique1 other1", "en", "src0", 0),
         (2, "w x y z only once here appearing solo now", "en", "src1", 0),
+        (3, "too short doc", "en", "src1", 0),
     ]
     cols = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     sf = str(tmp_path / "sfcov")
@@ -139,6 +142,7 @@ def test_span_coverage_interval_merge(spark, tmp_path):
     assert got[0] == (11, 9, 9 * 1_000_000 // 11)
     assert got[1] == (11, 9, 9 * 1_000_000 // 11)
     assert got[2] == (10, 0, 0)
+    assert got[3] == (3, 0, 0)
 
     # the DuckDB oracle agrees on the same fixture
     con = duckdb.connect()
