@@ -424,3 +424,169 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+_REWRITE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, lang, u.pos AS pos, u.span AS span FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks) - {_SPAN_N - 2}),
+                       i -> struct_pack(pos := i,
+                            span := array_to_string(
+                                list_slice(toks, i, i + {_SPAN_N - 1}), ' ')))) AS u
+            FROM base
+        )
+    ),
+    dup AS (
+        SELECT lang, span, min(doc_id) AS keeper
+        FROM (SELECT DISTINCT doc_id, lang, span FROM occ)
+        GROUP BY lang, span HAVING count(*) >= 2
+    ),
+    rem_occ AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN dup d USING (lang, span)
+        WHERE o.doc_id != d.keeper
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + {_SPAN_N - 1}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM rem_occ
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS gid
+        FROM brk
+    ),
+    gaps AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS islands FROM (
+            SELECT doc_id, gid, min(pos) AS s, max(pos + {_SPAN_N - 1}) AS e
+            FROM isl GROUP BY doc_id, gid
+        ) GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               list_transform(
+                   list_filter(
+                       list_zip(b.toks, range(1, len(b.toks) + 1)),
+                       z -> len(list_filter(coalesce(g.islands, []),
+                                i -> i.s <= z[2] AND z[2] <= i.e)) = 0),
+                   z -> z[1]) AS kept
+        FROM base b LEFT JOIN gaps g USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS text_clean
+    FROM rebuilt
+    """
+
+
+@query("dedup_span_rewrite", oracle=_REWRITE_SQL)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass of substring-level dedup — completes the
+    family census (dedup_substring_spans) -> per-doc criterion
+    (dedup_span_coverage) -> rewrite: emit every document's CLEANED
+    text with duplicated spans cut, keep-first-document semantics.
+
+    Keeper election is per (lang, span): the lowest doc_id containing
+    the span keeps its text untouched for that span; every other
+    document cuts all tokens covered by its occurrences. Removal
+    regions are the same gaps-and-islands interval union as the
+    coverage operator (overlapping spans never double-cut), and the
+    rebuild is a NARROW positional array filter on the kept document
+    row — F.filter's (token, index) lambda against the doc's merged
+    island array — so reconstructing text costs no extra exchange
+    beyond the island groupBy's doc_id shuffle. text_clean is exact
+    token arithmetic, so the output hash-compares across engines.
+
+    Scale shape: identical exchange set to dedup_span_coverage
+    ((lang, span) window; (lang, span) dup equi-join, AQE-planned;
+    doc_id for the island merge) plus the doc_id equi-join of islands
+    back to the corpus. The per-doc island array is bounded by
+    n_tokens/span_n, so the rebuild lambda is O(tokens x islands)
+    per row with no shuffle amplification. At 100 TB the cleaned
+    corpus is a straight partitioned write of this frame."""
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_spark(F.col("text"))
+    n_sh = F.size(toks) - (_SPAN_N - 1)
+    mk = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, _SPAN_N)).alias("span"),
+        ),
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.when(n_sh >= 1, mk)
+        .otherwise(F.array().cast("array<struct<pos:bigint,span:string>>"))
+        .alias("occs"),
+    )
+    occ = (
+        base.select("doc_id", "lang", F.explode_outer("occs").alias("o"))
+        .filter(F.col("o").isNotNull())
+        .select("doc_id", "lang", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+    )
+    w_span = W.partitionBy("lang", "span")
+    dup = (
+        occ.select("doc_id", "lang", "span")
+        .distinct()
+        .withColumn("df", F.count("*").over(w_span))
+        .withColumn("keeper", F.min("doc_id").over(w_span))
+        .filter(F.col("df") >= 2)
+        .select("lang", "span", "keeper")
+        .distinct()
+    )
+    rem_occ = (
+        occ.join(dup, ["lang", "span"])
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (_SPAN_N - 1)).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = rem_occ.withColumn(
+        "is_new",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "gid", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    gaps = (
+        isl.groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max(F.col("pos") + (_SPAN_N - 1))).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("islands"))
+    )
+    islands = F.coalesce(
+        F.col("islands"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            islands, lambda g: (g["s"] <= i + 1) & (i + 1 <= g["e"])
+        ),
+    )
+    return (
+        base.select("doc_id", "toks", "n_tokens")
+        .join(gaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("text_clean"),
+        )
+    )

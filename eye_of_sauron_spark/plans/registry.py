@@ -46,6 +46,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # per-document duplicated-span coverage operator
     "stream_funnel_bucketed_replay",
     "dedup_span_coverage",
+    "dedup_span_rewrite",
     # 2) the complete latest-r06 block (VERDICT r08 #2) — after this
     # round no query's evidence predates r07. Includes the
     # similarity_*_recall family whose bench creep r08 flagged.
@@ -94,9 +95,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "validate_events_expectations",
     "window_percent_rank_acctbal",
     "winsorize_values_by_type",
-    # 3) r07 queries with open bench questions (VERDICT r08 #6)
-    "zorder_cluster_events",      # 1.81x drift r07->r08 — confirm
-    "sketch_quantiles_value",     # r09 small-group clamp — re-green
+    # 3) r09 code change needing a fresh row (small-group clamp)
+    "sketch_quantiles_value",
+    # zorder_cluster_events was cut when the two r09 span operators
+    # took its slot: its r08 1.81x flag resolved as single-run noise
+    # (BENCH_LOCAL_r09 3-run median 0.335 s, back at r06 level), its
+    # last driver row is hash-green r07, and nothing in its code
+    # changed — it needs no fresh evidence, the new operators do.
 )
 
 

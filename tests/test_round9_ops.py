@@ -151,3 +151,40 @@ def test_span_coverage_interval_merge(spark, tmp_path):
     )
     want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(_COV_SQL).fetchall()}
     assert want == got
+
+
+def test_span_rewrite_keep_first_semantics(spark, tmp_path):
+    """dedup_span_rewrite: the lowest-doc_id document containing a
+    duplicated span keeps its text verbatim; the others cut the
+    merged island; unique and sub-span-length docs pass through."""
+    import duckdb
+
+    from eye_of_sauron_spark.plans.decontam import _REWRITE_SQL, dedup_span_rewrite
+
+    shared = "a b c d e f g h i"
+    rows = [
+        (0, shared + " unique0 tail0", "en", "src0", 0),
+        (1, shared + " unique1 other1", "en", "src0", 0),
+        (2, "w x y z only once here appearing solo now", "en", "src1", 0),
+        (3, "too short doc", "en", "src1", 0),
+    ]
+    cols = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    sf = str(tmp_path / "sfrw")
+    (tmp_path / "sfrw").mkdir()
+    spark.createDataFrame(rows, cols).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in dedup_span_rewrite(spark, sf).collect()
+    }
+    assert got[0] == (11, 0, rows[0][1])          # keeper: untouched
+    assert got[1] == (11, 9, "unique1 other1")    # island a..i cut once
+    assert got[2] == (10, 0, rows[2][1])          # unique: untouched
+    assert got[3] == (3, 0, rows[3][1])           # sub-span-length guard
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(_REWRITE_SQL).fetchall()}
+    assert want == got
