@@ -590,3 +590,21 @@ def test_span_coverage_joins_on_span_key(spark, sf_dir):
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, span#\d+\]", p
     ), p
     assert re.search(r"Window .*windowspecdefinition\(doc_id#\d+L", p), p
+
+
+def test_span_rewrite_joins_on_span_key_and_rebuild_is_narrow(spark, sf_dir):
+    # same key discipline as the coverage pass, plus: the island
+    # arrays must come back to the corpus through a doc_id equi-join
+    # and the rebuild itself is a narrow array filter — no Window
+    # other than the two island-merge windows, no extra exchange for
+    # reconstruction.
+    import re
+
+    p = _plan(spark, sf_dir, "dedup_span_rewrite")
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, span#\d+\]", p
+    ), p
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id#\d+L\]", p
+    ), p
+    assert re.search(r"Window .*windowspecdefinition\(doc_id#\d+L", p), p
