@@ -349,21 +349,48 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's duplicated-span starts splits islands, and covered
     tokens are sum over islands of (max_end - min_start + 1).
 
-    Scale shape: three exchanges, all on natural keys — (lang, span)
-    for the document-frequency window (identical partitioning to
-    dedup_substring_spans), (lang, span) again for the dup-set
-    equi-join back to occurrences (AQE-planned; the dup set is
-    corpus-derived so it is NOT broadcast by hint), and doc_id for
-    the island merge, whose window state is one running max per
-    document. No pair list is ever emitted, so per-span cost is
-    O(occurrences), and the interval merge makes per-document cost
-    O(dup occurrences log) regardless of how pathologically spans
-    overlap. The position arithmetic is all BIGINT; coverage_ppm is
-    exact integer floor division, so the number is engine- and
-    partitioning-identical. Measured 10x worst-case probe (50k docs,
-    100% dup density, 1x-comparable wall): SCALE.md "Span-coverage
-    probe"."""
+    Scale shape: the expensive relation — positional span occurrences
+    (a string build over every token window) — is computed ONCE and
+    flagged in a SINGLE (lang, span) window pass: distinct-document
+    frequency via dense_rank-then-max (sort-based, bounded per-key
+    state — deliberately NOT collect_set, which holds a hot span's
+    whole doc set in memory) plus keeper = min(doc_id) for the
+    rewrite twin. No distinct-and-join-back: the first cut of this
+    operator self-joined occurrences against the dup set and paid the
+    span build twice (~5 s vs ~1.4 s at sf0.1). Downstream, one
+    doc_id exchange for the island merge (one running max per doc)
+    and one cheap spanless scan for the per-doc token totals. No pair
+    list is ever emitted, so per-span cost is O(occurrences)
+    regardless of df. The position arithmetic is all BIGINT;
+    coverage_ppm is exact integer floor division, so the number is
+    engine- and partitioning-identical. Measured 10x worst-case probe
+    (50k docs, 100% dup density, 1x-comparable wall): SCALE.md
+    "Span-coverage probe"."""
     d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d_occ = _dup_span_occurrences(d).select("doc_id", "pos")
+    cov = _merged_islands(d_occ).groupBy("doc_id").agg(
+        F.sum("n").alias("covered")
+    )
+    toks = tokens_spark(F.col("text"))
+    totals = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    return (
+        totals.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            covered.alias("covered_tokens"),
+            F.expr(
+                "CAST(coalesce(covered, 0) * 1000000 div greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def _span_occurrences(d: DataFrame) -> DataFrame:
+    """Positional 8-token span occurrences: (doc_id, lang, pos, span),
+    one row per token window — NOT the distinct-shingle set, because
+    interval union needs every occurrence's position."""
     toks = tokens_spark(F.col("text"))
     n_sh = F.size(toks) - (_SPAN_N - 1)
     mk = F.transform(
@@ -376,55 +403,54 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("bigint").alias("n_tokens"),
         # sequence(1, k) counts DOWN for k < 1 — same guard as
         # shingles_spark for sub-span-length documents
-        F.when(n_sh >= 1, mk).otherwise(F.array().cast("array<struct<pos:bigint,span:string>>")).alias("occs"),
+        F.when(n_sh >= 1, mk)
+        .otherwise(F.array().cast("array<struct<pos:bigint,span:string>>"))
+        .alias("occs"),
     )
-    occ = base.select(
-        "doc_id", "lang", F.explode_outer("occs").alias("o")
-    ).filter(F.col("o").isNotNull()).select(
-        "doc_id", "lang", F.col("o.pos").alias("pos"), F.col("o.span").alias("span")
+    return (
+        base.select("doc_id", "lang", F.explode_outer("occs").alias("o"))
+        .filter(F.col("o").isNotNull())
+        .select(
+            "doc_id", "lang", F.col("o.pos").alias("pos"), F.col("o.span").alias("span")
+        )
     )
-    df_win = F.size(F.collect_set("doc_id").over(W.partitionBy("lang", "span")))
-    dup = (
-        occ.select("doc_id", "lang", "span")
-        .distinct()
-        .withColumn("df", df_win)
-        .filter(F.col("df") >= 2)
-        .select("lang", "span")
-        .distinct()
+
+
+def _dup_span_occurrences(d: DataFrame) -> DataFrame:
+    """Occurrences of duplicated spans (distinct-doc frequency >= 2
+    within the language), with each span's keeper (min doc_id) — ONE
+    (lang, span) exchange: dense_rank over doc_id then max gives the
+    distinct-document count with sort-based bounded state, where
+    collect_set would buffer a stop-span's entire doc set."""
+    w = W.partitionBy("lang", "span")
+    return (
+        _span_occurrences(d)
+        .withColumn("dr", F.dense_rank().over(w.orderBy("doc_id")))
+        .withColumn("dfd", F.max("dr").over(w))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("dfd") >= 2)
     )
-    d_occ = occ.join(dup, ["lang", "span"]).select("doc_id", "pos")
+
+
+def _merged_islands(d_occ: DataFrame) -> DataFrame:
+    """Gaps-and-islands union of [pos, pos + n - 1] intervals per doc:
+    (doc_id, gid, s, e, n) — one running max per document."""
     w_ord = W.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (_SPAN_N - 1)).over(
         w_ord.rowsBetween(W.unboundedPreceding, -1)
     )
-    brk = d_occ.withColumn(
+    isl = d_occ.withColumn(
         "is_new",
         F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    )
-    isl = brk.withColumn(
+    ).withColumn(
         "gid", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
     )
-    cov = (
-        isl.groupBy("doc_id", "gid")
-        .agg((F.max(F.col("pos") + (_SPAN_N - 1)) - F.min("pos") + 1).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").alias("covered"))
-    )
-    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
-    return (
-        base.select("doc_id", "n_tokens")
-        .join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            covered.alias("covered_tokens"),
-            F.expr(
-                "CAST(coalesce(covered, 0) * 1000000 div greatest(n_tokens, 1) AS BIGINT)"
-            ).alias("coverage_ppm"),
-        )
+    return isl.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + (_SPAN_N - 1)).alias("e"),
+        (F.max(F.col("pos") + (_SPAN_N - 1)) - F.min("pos") + 1).alias("n"),
     )
 
 
@@ -508,72 +534,31 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the island groupBy's doc_id shuffle. text_clean is exact
     token arithmetic, so the output hash-compares across engines.
 
-    Scale shape: identical exchange set to dedup_span_coverage
-    ((lang, span) window; (lang, span) dup equi-join, AQE-planned;
-    doc_id for the island merge) plus the doc_id equi-join of islands
-    back to the corpus. The per-doc island array is bounded by
-    n_tokens/span_n, so the rebuild lambda is O(tokens x islands)
-    per row with no shuffle amplification. At 100 TB the cleaned
-    corpus is a straight partitioned write of this frame. Measured
-    10x worst-case probe (90% removal density, closed-form removal
-    count): SCALE.md "Span-coverage probe"."""
+    Scale shape: identical single-pass (lang, span) window as
+    dedup_span_coverage (dense_rank-then-max distinct-doc frequency +
+    keeper = min(doc_id), sort-based bounded state, occurrences built
+    once — see that operator's docstring for why there is no
+    dup-set self-join), then doc_id for the island merge and the
+    doc_id equi-join of islands back to the corpus. The per-doc
+    island array is bounded by n_tokens/span_n, so the rebuild lambda
+    is O(tokens x islands) per row with no shuffle amplification. At
+    100 TB the cleaned corpus is a straight partitioned write of this
+    frame. Measured 10x worst-case probe (90% removal density,
+    closed-form removal count): SCALE.md "Span-coverage probe"."""
     d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
-    toks = tokens_spark(F.col("text"))
-    n_sh = F.size(toks) - (_SPAN_N - 1)
-    mk = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.struct(
-            i.cast("bigint").alias("pos"),
-            F.concat_ws(" ", F.slice(toks, i, _SPAN_N)).alias("span"),
-        ),
-    )
-    base = d.select(
-        "doc_id",
-        "lang",
-        toks.alias("toks"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.when(n_sh >= 1, mk)
-        .otherwise(F.array().cast("array<struct<pos:bigint,span:string>>"))
-        .alias("occs"),
-    )
-    occ = (
-        base.select("doc_id", "lang", F.explode_outer("occs").alias("o"))
-        .filter(F.col("o").isNotNull())
-        .select("doc_id", "lang", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
-    )
-    w_span = W.partitionBy("lang", "span")
-    dup = (
-        occ.select("doc_id", "lang", "span")
-        .distinct()
-        .withColumn("df", F.count("*").over(w_span))
-        .withColumn("keeper", F.min("doc_id").over(w_span))
-        .filter(F.col("df") >= 2)
-        .select("lang", "span", "keeper")
-        .distinct()
-    )
     rem_occ = (
-        occ.join(dup, ["lang", "span"])
+        _dup_span_occurrences(d)
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "pos")
     )
-    w_ord = W.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + (_SPAN_N - 1)).over(
-        w_ord.rowsBetween(W.unboundedPreceding, -1)
-    )
-    isl = rem_occ.withColumn(
-        "is_new",
-        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn(
-        "gid", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
-    )
     gaps = (
-        isl.groupBy("doc_id", "gid")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max(F.col("pos") + (_SPAN_N - 1))).alias("e"),
-        )
+        _merged_islands(rem_occ)
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("islands"))
+    )
+    toks = tokens_spark(F.col("text"))
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("bigint").alias("n_tokens")
     )
     islands = F.coalesce(
         F.col("islands"), F.array().cast("array<struct<s:bigint,e:bigint>>")
@@ -585,8 +570,7 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        base.select("doc_id", "toks", "n_tokens")
-        .join(gaps, "doc_id", "left")
+        base.join(gaps, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -574,36 +574,38 @@ def test_ivf_assignment_is_narrow_no_window_shuffle(spark, sf_dir):
     assert n_shuffle <= 2, p
 
 
-def test_span_coverage_joins_on_span_key(spark, sf_dir):
-    # r09: the dup-set join back to occurrences must hash on the
-    # (lang, span) KEY — the r05 lesson from dedup_embedding_cosine:
-    # an ambiguous column name can silently demote an equi join to a
-    # looser key + filter while results stay accidentally right at
-    # fixture scale. Accept either physical strategy (AQE may pick
-    # broadcast locally, SMJ at scale); in both, span must be in the
-    # hashed/broadcast key list, and the doc_id island-merge window
-    # must be partitioned (no global sort).
+def test_span_coverage_single_pass_no_span_join(spark, sf_dir):
+    # r09: duplicated-span detection must be the SINGLE (lang, span)
+    # window pass (dense_rank-then-max distinct-doc frequency) — the
+    # first cut self-joined occurrences against a distinct dup set
+    # and paid the span string build twice (~5 s vs ~1.4 s at sf0.1).
+    # A span-keyed join reappearing means the expensive relation is
+    # being computed twice again. The doc_id island-merge window must
+    # stay partitioned (no global sort), and no collect_set may hold
+    # a hot span's doc set in window state.
     import re
 
     p = _plan(spark, sf_dir, "dedup_span_coverage")
-    assert re.search(
+    assert not re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, span#\d+\]", p
     ), p
+    assert re.search(r"windowspecdefinition\(lang#\d+, span#\d+", p), p
     assert re.search(r"Window .*windowspecdefinition\(doc_id#\d+L", p), p
+    assert "collect_set" not in p, p
 
 
-def test_span_rewrite_joins_on_span_key_and_rebuild_is_narrow(spark, sf_dir):
-    # same key discipline as the coverage pass, plus: the island
-    # arrays must come back to the corpus through a doc_id equi-join
-    # and the rebuild itself is a narrow array filter — no Window
-    # other than the two island-merge windows, no extra exchange for
-    # reconstruction.
+def test_span_rewrite_single_pass_and_rebuild_is_narrow(spark, sf_dir):
+    # same single-pass discipline as the coverage operator, plus: the
+    # island arrays must come back to the corpus through a doc_id
+    # equi-join, and the rebuild itself is a narrow array filter (no
+    # extra exchange for reconstruction).
     import re
 
     p = _plan(spark, sf_dir, "dedup_span_rewrite")
-    assert re.search(
+    assert not re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, span#\d+\]", p
     ), p
+    assert re.search(r"windowspecdefinition\(lang#\d+, span#\d+", p), p
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id#\d+L\]", p
     ), p
