@@ -47,6 +47,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_funnel_bucketed_replay",
     "dedup_span_coverage",
     "dedup_span_rewrite",
+    "stream_late_drop_replay",
     # 2) the complete latest-r06 block (VERDICT r08 #2) — after this
     # round no query's evidence predates r07. Includes the
     # similarity_*_recall family whose bench creep r08 flagged.

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.hashing import hex32_duck, hex32_spark
 from ..functions.money import cents_duck, cents_spark
 from ..plans.registry import query
 from ..sources import load_table
@@ -962,6 +963,121 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         with _scoped_shuffle(spark, _WAGG_BATCHES):
             emitted = run_to_memory(
                 agg, f"wagg_replay_{uuid.uuid4().hex[:8]}", f"{work}/ckpt"
+            ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select(
+        F.col("w.start").alias("ws"), "event_type", "n_events", "cents"
+    )
+
+
+# ------------------------------------------- planted-late-data drop
+
+_LATE_BATCHES = 8
+_LATE_DELAY = "1 hour"
+_LATE_MOD = 20  # ~5% of rows planted late, hash-routed
+_LATE_SHIFT = 3  # planted rows ARRIVE 3 micro-batches after origin
+_LATE_MAX_ORIGIN = 4  # plant only from octiles 0..4 (margin argument)
+
+# The replay's octile slicing restated in SQL (same arithmetic as
+# _UPD_BATCH_DUCK; Spark's unix_micros == DuckDB's epoch_us), so both
+# engines agree which micro-batch every event originates in — and
+# therefore which hash-routed rows the stream delivered late.
+_LATE_BATCH_DUCK = f"""
+    least(floor(((epoch_us(ts) - (SELECT epoch_us(min(ts)) FROM events)) * 1.0
+        / ((SELECT epoch_us(max(ts)) FROM events)
+           - (SELECT epoch_us(min(ts)) FROM events) + 1)) * {_LATE_BATCHES}),
+        {_LATE_BATCHES - 1})
+"""
+
+_LATE_KEY_DUCK = hex32_duck("'late:' || CAST(event_id AS VARCHAR)")
+_LATE_FLAG_DUCK = f"{_LATE_KEY_DUCK} % {_LATE_MOD} = 0"
+
+_LATE_ORACLE = f"""
+    WITH flagged AS (
+        SELECT ts, event_type, value,
+               ({_LATE_FLAG_DUCK}
+                AND {_LATE_BATCH_DUCK} <= {_LATE_MAX_ORIGIN}) AS is_late
+        FROM events
+    ),
+    kept AS (SELECT * FROM flagged WHERE NOT is_late),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM kept)
+    SELECT date_trunc('day', ts) AS ws, event_type,
+           count(*) AS n_events,
+           CAST(sum({cents_duck('value')}) AS BIGINT) AS cents
+    FROM kept
+    GROUP BY ws, event_type
+    HAVING ws + INTERVAL 1 DAY <= (SELECT w FROM wm)
+"""
+
+
+@query("stream_late_drop_replay", oracle=_LATE_ORACLE)
+def stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, driver-checked — the one streaming
+    semantic stream_window_replay cannot see, because its time-sliced
+    ordered arrival means nothing is ever late. Here a deterministic
+    ~5% of rows (md5 hash-routed, origin octiles 0..{_LATE_MAX_ORIGIN}
+    only) are delivered {_LATE_SHIFT} micro-batches AFTER their
+    origin, with event times untouched. Under a {_LATE_DELAY}
+    watermark every planted row arrives unambiguously behind the
+    stream's watermark and the real EventTimeWatermark filter must
+    drop it before the windowed aggregation; the oracle computes the
+    surviving set in closed form (everything except the planted rows)
+    plus the append-mode emission gate. An engine that fails to drop
+    late input inflates n_events/cents; one that drops too much
+    (e.g. filters by arrival batch, not event time) starves them.
+
+    The margin argument that makes the oracle exact: a planted row
+    from octile b arrives at batch b+{_LATE_SHIFT}, when the
+    watermark already covers on-time octiles through b+{_LATE_SHIFT}-1
+    — its event time trails the watermark by >= one octile (days of
+    fixture time) minus the {_LATE_DELAY} delay, and every on-time
+    row leads it by the same margin, so no row sits near the drop
+    boundary and Spark's exact <-vs-<= boundary semantics cannot
+    flip the result. Late rows never RAISE the watermark (they are
+    old by construction), and the global max-ts row is on-time
+    (origin octile {_LATE_BATCHES - 1}), so the final-watermark gate
+    matches stream_window_replay's closed form over the kept set.
+
+    Scale shape: identical to stream_window_replay — one exchange on
+    the window group keys, state = open windows x types, eviction by
+    watermark; the late-routing column is a narrow md5 expression on
+    the replay writer side only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    sliced = _time_sliced(ev, _LATE_BATCHES)
+    is_late = (
+        hex32_spark(F.concat(F.lit("late:"), F.col("event_id").cast("string")))
+        % _LATE_MOD
+        == 0
+    ) & (F.col("batch") <= _LATE_MAX_ORIGIN)
+    routed = sliced.withColumn(
+        "arrival",
+        F.when(is_late, F.col("batch") + _LATE_SHIFT).otherwise(F.col("batch")),
+    )
+    work = tempfile.mkdtemp(prefix="late_drop_replay_")
+    write_microbatch_files_partitioned(
+        routed.select("arrival", "ts", "event_type", "value"),
+        "arrival",
+        _LATE_BATCHES,
+        f"{work}/in",
+    )
+    stream = file_stream(
+        spark, f"{work}/in", "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    agg = (
+        stream.withWatermark("ts", _LATE_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents_spark(F.col("value"))).cast("bigint").alias("cents"),
+        )
+    )
+    try:
+        with _scoped_shuffle(spark, _LATE_BATCHES):
+            emitted = run_to_memory(
+                agg, f"late_drop_replay_{uuid.uuid4().hex[:8]}", f"{work}/ckpt"
             ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

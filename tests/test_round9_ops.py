@@ -188,3 +188,46 @@ def test_span_rewrite_keep_first_semantics(spark, tmp_path):
     )
     want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(_REWRITE_SQL).fetchall()}
     assert want == got
+
+
+def test_late_drop_replay_scenario_not_vacuous(spark, sf_dir):
+    """stream_late_drop_replay's oracle equality is only meaningful if
+    the replay actually delivers rows late: the hash-routed planted
+    set must be non-empty at test scale, and the emitted window
+    totals must fall short of the full batch totals by exactly that
+    set's size (i.e. the real watermark filter dropped them — a
+    vacuous scenario or an engine that stops dropping both fail
+    here)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.functions.hashing import hex32_spark
+    from eye_of_sauron_spark.sources.tables import load_table
+    from eye_of_sauron_spark.streaming.replay import (
+        _LATE_MAX_ORIGIN,
+        _LATE_MOD,
+        _time_sliced,
+        stream_late_drop_replay,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sliced = _time_sliced(ev.select("event_id", "ts"), 8)
+    is_late = (
+        hex32_spark(F.concat(F.lit("late:"), F.col("event_id").cast("string")))
+        % _LATE_MOD
+        == 0
+    ) & (F.col("batch") <= _LATE_MAX_ORIGIN)
+    n_planted = sliced.filter(is_late).count()
+    assert n_planted > 0
+
+    wm_gate = ev.agg(
+        F.date_trunc("day", F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("d")
+    ).collect()[0]["d"]
+    n_gated = ev.filter(F.col("ts") < wm_gate).count()  # rows in emitted windows
+    emitted_total = (
+        stream_late_drop_replay(spark, sf_dir)
+        .agg(F.sum("n_events").alias("n"))
+        .collect()[0]["n"]
+    )
+    planted_in_gated = sliced.filter(is_late & (F.col("ts") < wm_gate)).count()
+    assert planted_in_gated > 0
+    assert emitted_total == n_gated - planted_in_gated
