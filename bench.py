@@ -19,6 +19,7 @@ import json
 import os
 import pandas as pd
 import re
+import statistics
 import sys
 import time
 
@@ -64,9 +65,15 @@ def main() -> None:
     # whole round's perf record (BENCH_r04 died with no numbers when a
     # single query raised at plan construction) — failures are recorded
     # as {"err": ...} rows and the run keeps going
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "best")
-    pick = min if stat == "best" else (lambda ts: sorted(ts)[len(ts) // 2])
+    if stat not in ("best", "median"):
+        # fail loudly: a typo'd stat silently mislabeling the metric
+        # poisons every downstream BENCH comparison
+        raise SystemExit(f"SPARK_GRAFT_BENCH_STAT must be best|median, got {stat!r}")
+    # statistics.median averages the two middle samples for even n —
+    # sorted(ts)[n//2] would report the WORSE of two runs as "median"
+    pick = min if stat == "best" else statistics.median
     times: dict[str, object] = {}
     errors: dict[str, str] = {}
     t_all = time.perf_counter()

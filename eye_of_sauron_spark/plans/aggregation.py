@@ -327,6 +327,7 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", qs, 10_000).alias("ap"),
         F.percentile("value", F.lit(exact_qs)).alias("ex"),
         F.count("*").alias("n_events"),
+        F.count("value").alias("n_vals"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
@@ -337,8 +338,11 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ceil(q*n); the interpolated percentile at q-0.01 can sit
         # above it). There the honest guarantee is group membership:
         # the sketch's answer is always an actual element, so widen to
-        # [min, max] for n < 100.
-        small = F.col("n_events") < F.lit(100)
+        # [min, max] for n < 100. n is count(value) — the NON-NULL
+        # count both percentile functions actually rank over — not
+        # count(*): a group of 120 rows with 50 non-null values is a
+        # small group for bracketing purposes.
+        small = F.col("n_vals") < F.lit(100)
         lo = F.when(small, F.col("vmin")).otherwise(
             F.try_element_at("ex", F.lit(2 * i + 1))
         ) - F.lit(1e-9)

@@ -40,7 +40,8 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r09 rotation (48 entries, all inside the ~50-slot cut) ---
+    # --- r09 rotation (50 entries, exactly filling the ~50-slot
+    # driver budget) ---
     # 1) NEW this round — no driver row yet: the bucketed stateful
     # funnel (per-group-tax mitigation, VERDICT r08 #1) and the
     # per-document duplicated-span coverage operator
@@ -86,7 +87,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_restart_replay",
     "stream_session_replay",
     "stream_update_mode_replay",
-    "stream_window_replay",       # also: r07 bench showed 1.36x — confirm
+    "stream_window_replay",
     "text_bigram_lm",
     "text_char_diversity",
     "text_lm_score",
@@ -98,11 +99,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "winsorize_values_by_type",
     # 3) r09 code change needing a fresh row (small-group clamp)
     "sketch_quantiles_value",
-    # zorder_cluster_events was cut when the two r09 span operators
-    # took its slot: its r08 1.81x flag resolved as single-run noise
+    # zorder_cluster_events was cut when the r09 operators took its
+    # slot: its r08 1.81x flag resolved as single-run noise
     # (BENCH_LOCAL_r09 3-run median 0.335 s, back at r06 level), its
     # last driver row is hash-green r07, and nothing in its code
     # changed — it needs no fresh evidence, the new operators do.
+    # For the r10 rotation: stream_dedup_replay (r08 hash-green, not
+    # in this list) measured 3.42 s median-of-3 vs 5.60 s best-of-2
+    # across the two r09 local bench records — re-measure alongside
+    # the usual freshness block.
 )
 
 

@@ -56,7 +56,13 @@ def funnel_progress(
 def funnel_stream(events: DataFrame) -> DataFrame:
     """Apply the funnel state machine to a streaming DataFrame with
     columns (user_id LONG, ts TIMESTAMP, event_id LONG,
-    event_type STRING)."""
+    event_type STRING). NULL user_ids are excluded — a funnel over
+    the NULL key would conflate every anonymous event into one state
+    machine; both funnel forms and the replay oracle share this
+    rule, keeping them row-for-row equivalent under NULLs."""
+    from pyspark.sql import functions as F
+
+    events = events.filter(F.col("user_id").isNotNull())
     return events.groupBy("user_id").applyInPandasWithState(
         funnel_progress,
         OUTPUT_SCHEMA,
@@ -127,10 +133,10 @@ def funnel_stream_bucketed(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     per-group tax."""
     from pyspark.sql import functions as F
 
-    # a NULL user_id would coerce the pandas user_id column to float64
-    # and corrupt the ARRAY<LONG> state keys; the per-user form is
-    # immune (the key arrives via the group tuple, not the column), so
-    # drop NULLs here to keep the two forms output-equivalent
+    # NULL user_ids are excluded in BOTH funnel forms (see
+    # funnel_stream) — here it additionally matters mechanically: a
+    # NULL would coerce the pandas user_id column to float64 and
+    # corrupt the ARRAY<LONG> state keys
     return (
         events.filter(F.col("user_id").isNotNull())
         .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))

@@ -971,6 +971,22 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_duck(n_batches: int) -> str:
+    """_time_sliced's octile arithmetic restated in DuckDB SQL —
+    Spark's unix_micros == DuckDB's epoch_us, so both engines assign
+    every event the identical micro-batch. The ONE definition of this
+    engine-parity-critical formula: every oracle that must predict
+    batch assignment (update-mode emission counts, planted-late
+    routing) builds on it; changing _time_sliced means changing this
+    twin in lockstep, in exactly one place."""
+    return f"""
+    least(floor(((epoch_us(ts) - (SELECT epoch_us(min(ts)) FROM events)) * 1.0
+        / ((SELECT epoch_us(max(ts)) FROM events)
+           - (SELECT epoch_us(min(ts)) FROM events) + 1)) * {n_batches}),
+        {n_batches - 1})
+"""
+
+
 # ------------------------------------------- planted-late-data drop
 
 _LATE_BATCHES = 8
@@ -979,16 +995,7 @@ _LATE_MOD = 20  # ~5% of rows planted late, hash-routed
 _LATE_SHIFT = 3  # planted rows ARRIVE 3 micro-batches after origin
 _LATE_MAX_ORIGIN = 4  # plant only from octiles 0..4 (margin argument)
 
-# The replay's octile slicing restated in SQL (same arithmetic as
-# _UPD_BATCH_DUCK; Spark's unix_micros == DuckDB's epoch_us), so both
-# engines agree which micro-batch every event originates in — and
-# therefore which hash-routed rows the stream delivered late.
-_LATE_BATCH_DUCK = f"""
-    least(floor(((epoch_us(ts) - (SELECT epoch_us(min(ts)) FROM events)) * 1.0
-        / ((SELECT epoch_us(max(ts)) FROM events)
-           - (SELECT epoch_us(min(ts)) FROM events) + 1)) * {_LATE_BATCHES}),
-        {_LATE_BATCHES - 1})
-"""
+_LATE_BATCH_DUCK = _batch_duck(_LATE_BATCHES)
 
 _LATE_KEY_DUCK = hex32_duck("'late:' || CAST(event_id AS VARCHAR)")
 _LATE_FLAG_DUCK = f"{_LATE_KEY_DUCK} % {_LATE_MOD} = 0"
@@ -1090,17 +1097,10 @@ def stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UPD_BATCHES = 8
 
-# _time_sliced's octile arithmetic restated in SQL: both engines
-# assign every event the identical micro-batch, so the oracle can
-# predict exactly how many update rows each key emitted (one per
-# batch that contained at least one row of the key — update mode
-# emits changed keys only).
-_UPD_BATCH_DUCK = f"""
-    least(floor(((epoch_us(ts) - (SELECT epoch_us(min(ts)) FROM events)) * 1.0
-        / ((SELECT epoch_us(max(ts)) FROM events)
-           - (SELECT epoch_us(min(ts)) FROM events) + 1)) * {_UPD_BATCHES}),
-        {_UPD_BATCHES - 1})
-"""
+# the oracle predicts exactly how many update rows each key emitted
+# (one per batch containing at least one row of the key — update mode
+# emits changed keys only), via the shared octile twin _batch_duck
+_UPD_BATCH_DUCK = _batch_duck(_UPD_BATCHES)
 
 _UPD_ORACLE = f"""
     SELECT event_type,
@@ -1497,6 +1497,8 @@ _FUNNEL_REPLAY_ORACLE = """
                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
                    AS seen_view
         FROM events
+        -- both funnel forms exclude the NULL user (funnel_stream)
+        WHERE user_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
     ),

@@ -16,15 +16,20 @@ def test_sketch_contract_survives_tiny_groups(spark, tmp_path):
     from eye_of_sauron_spark.plans.aggregation import sketch_quantiles_value
 
     path = str(tmp_path / "events.parquet")
+    # third group: 120 ROWS but only 50 non-null values — count(*)
+    # says "big", count(value) says "small"; the clamp must key on
+    # the non-null count both percentile functions actually rank over
     pd.DataFrame(
         {
-            "event_type": ["tiny"] * 3 + ["alsotiny"] * 7,
-            "value": [1.0, 2.0, 100.0] + [float(i) for i in range(7)],
-            "ts": pd.to_datetime(["2026-01-01"] * 10),
+            "event_type": ["tiny"] * 3 + ["alsotiny"] * 7 + ["nullheavy"] * 120,
+            "value": [1.0, 2.0, 100.0]
+            + [float(i) for i in range(7)]
+            + [float(i) if i < 50 else None for i in range(120)],
+            "ts": pd.to_datetime(["2026-01-01"] * 130),
         }
     ).to_parquet(path)
     out = sketch_quantiles_value(spark, str(tmp_path)).collect()
-    assert len(out) == 2
+    assert len(out) == 3
     for r in out:
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
 
