@@ -108,6 +108,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # in this list) measured 3.42 s median-of-3 vs 5.60 s best-of-2
     # across the two r09 local bench records — re-measure alongside
     # the usual freshness block.
+    # --- stretch slot #51: past the nominal ~50 budget. The 50
+    # priority slots above are exactly consumed (4 new + the 45-query
+    # freshness block + the changed sketch contract); this runs only
+    # if the driver's budget stretches, else it LEADS the r10
+    # rotation. Local evidence meanwhile: hash-green at sf0.001 +
+    # sf0.01, pruning pinned by pytest.
+    "routed_sink_pruned_read",
 )
 
 

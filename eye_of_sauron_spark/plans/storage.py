@@ -491,3 +491,62 @@ def schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------ routed sink + pruning
+
+_ROUTE_CAMERAS = 8  # reference: one results topic per camera (params.py:17)
+_ROUTE_READ_CAM = 3  # the single partition the read-back touches
+
+
+@query(
+    "routed_sink_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % {_ROUTE_CAMERAS} = {_ROUTE_READ_CAM}
+    GROUP BY event_type
+    """,
+)
+def routed_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-camera routed sink (A9: one results topic
+    per camera, src/params.py:17, prediction_producer.py:269-271) as
+    a driver-checked ROUND TRIP: events are routed to a per-camera
+    partitioned parquet layout (camera = user_id % {_ROUTE_CAMERAS},
+    one directory per camera — operators/sinks.py::write_partitioned,
+    with its pre-shuffle so each partition is written by one task),
+    then ONE camera's consumer reads back ONLY its partition and
+    aggregates. The oracle recomputes that camera's slice straight
+    from the source table, so a routing error (row in the wrong
+    partition), a lossy write, or a read that fails to isolate the
+    partition all hash-mismatch.
+
+    The read side filters on the PARTITION column, which Spark
+    resolves into a directory-level PartitionFilter — zero non-camera
+    files are opened (pytest pins PartitionFilters in the plan and
+    the pruned InMemoryFileIndex count). At 100 TB this layout is the
+    file-side equivalent of per-key topics: each consumer's scan cost
+    is its own partition's bytes, independent of total table size."""
+    from ..operators.sinks import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "camera", (F.col("user_id") % _ROUTE_CAMERAS).cast("bigint")
+    )
+    work = tempfile.mkdtemp(prefix="routed_sink_")
+    try:
+        write_partitioned(ev, f"{work}/routed", ["camera"])
+        out = (
+            spark.read.parquet(f"{work}/routed")
+            .filter(F.col("camera") == _ROUTE_READ_CAM)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

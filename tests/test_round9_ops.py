@@ -236,3 +236,31 @@ def test_late_drop_replay_scenario_not_vacuous(spark, sf_dir):
     planted_in_gated = sliced.filter(is_late & (F.col("ts") < wm_gate)).count()
     assert planted_in_gated > 0
     assert emitted_total == n_gated - planted_in_gated
+
+
+def test_routed_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The routed sink's read side must resolve the camera filter into
+    a directory-level PartitionFilter touching exactly ONE of the 8
+    camera partitions — the A9 per-camera-topic guarantee on files: a
+    consumer's scan cost is its partition, not the table."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.operators.sinks import write_partitioned
+    from eye_of_sauron_spark.plans.storage import _ROUTE_CAMERAS
+    from eye_of_sauron_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "camera", (F.col("user_id") % _ROUTE_CAMERAS).cast("bigint")
+    )
+    path = str(tmp_path / "routed")
+    write_partitioned(ev, path, ["camera"])
+
+    read = spark.read.parquet(path).filter(F.col("camera") == 3)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "camera" in plan, plan
+    # the file index must have pruned to the single matching directory
+    assert read.select("camera").distinct().count() == 1
+    import os
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("camera=")])
+    assert n_dirs == _ROUTE_CAMERAS
