@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hex32_duck, hex32_spark
 from ..sources import load_table
 from .registry import query
 
@@ -573,4 +574,127 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("n_events") * _HH_PHI_INV > F.col("n_total"))
         .select("user_id", F.col("n_events").cast("bigint").alias("n_events"))
+    )
+
+
+# ----------------------------------------------------- Count-Min sketch
+
+_CMS_D = 4     # hash rows
+_CMS_W = 64    # buckets per row
+_CMS_TOPN = 15
+
+
+def _cm_bucket_spark(r, key) -> F.Column:
+    """Row-r Count-Min bucket for ``key``: portable md5-derived hash
+    of 'cm{r}:{key}' reduced mod _CMS_W (non-negative on both sides —
+    hex32 is 0..2^32-1)."""
+    return (
+        hex32_spark(
+            F.concat(F.lit("cm"), r.cast("string"), F.lit(":"), key.cast("string"))
+        )
+        % _CMS_W
+    )
+
+
+def _cm_bucket_duck(r_expr: str, key_expr: str) -> str:
+    return (
+        hex32_duck(
+            f"'cm' || CAST({r_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+        )
+        + f" % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    sketch AS (
+        SELECT g.r AS r, {_cm_bucket_duck('g.r', 'user_id')} AS bucket,
+               count(*) AS total
+        FROM ev, unnest(range(0, {_CMS_D})) AS g(r)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, exact_n FROM exact
+        ORDER BY exact_n DESC, user_id ASC LIMIT {_CMS_TOPN}
+    ),
+    probes AS (
+        SELECT user_id, exact_n, g.r AS r,
+               {_cm_bucket_duck('g.r', 'user_id')} AS bucket
+        FROM top, unnest(range(0, {_CMS_D})) AS g(r)
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_n, min(s.total) AS cm_est
+        FROM probes p JOIN sketch s USING (r, bucket)
+        GROUP BY p.user_id, p.exact_n
+    )
+    SELECT user_id, exact_n, cm_est, cm_est - exact_n AS overcount,
+           cm_est >= exact_n AS ok
+    FROM est
+    """,
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates — the mergeable
+    fixed-size frequency sketch next to HLL distincts
+    (approx_distinct_users), KLL quantiles (sketch_quantiles_value)
+    and Misra-Gries heavy hitters (heavy_hitters_users). d=4 portable
+    hash rows x w=64 buckets; est(key) = min over rows of its bucket
+    total, which can only OVERcount (asserted in-plan as ``ok``).
+
+    Unlike the HLL/KLL contracts (engine-specific sketches checked
+    via error bounds), the CMS is built from the same md5-derived
+    bucket function on both sides, so the ESTIMATES THEMSELVES
+    hash-compare exactly — the oracle verifies the sketch
+    construction, not just a bound.
+
+    Scale shape: the sketch build is one groupBy over d x N exploded
+    rows that map-side-combines into <= d*w*partitions partials and
+    reduces to 256 cells total — O(1) state regardless of key
+    cardinality, the whole point vs the exact per-key groupBy. Point
+    queries join the probed keys to the 256-row sketch via broadcast.
+    The exact side exists to evaluate the sketch at test scale (same
+    convention as approx_distinct_users); NULL keys are excluded
+    explicitly on both sides (heavy_hitters_users convention).
+    Reference analog: per-key frequency monitoring the reference does
+    driver-side (src/prediction_producer.py consumer loop counters).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    rows = F.explode(F.array(*[F.lit(r).cast("long") for r in range(_CMS_D)]))
+    sketch = (
+        ev.withColumn("r", rows)
+        .select("r", _cm_bucket_spark(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("total"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOPN)
+    )
+    probes = top.withColumn("r", rows).select(
+        "user_id",
+        "exact_n",
+        "r",
+        _cm_bucket_spark(F.col("r"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("total").alias("cm_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        (F.col("cm_est") >= F.col("exact_n")).alias("ok"),
     )

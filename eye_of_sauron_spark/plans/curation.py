@@ -675,3 +675,81 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ------------------------------------------- weighted reservoir sample
+
+_WRS_K = 64
+_WRS_KEY_DUCK = (
+    "CAST(round(-ln(("
+    + hex32_duck("'wrs:' || CAST(doc_id AS VARCHAR)")
+    + " + 1) / 4294967296.0) / n_chars * 1000000000) AS BIGINT)"
+)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars AS weight,
+               {_WRS_KEY_DUCK} AS wkey_e9
+        FROM documents WHERE n_chars > 0
+    ),
+    sampled AS (
+        SELECT * FROM scored ORDER BY wkey_e9 ASC, doc_id ASC LIMIT {_WRS_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY wkey_e9 ASC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, source, weight, wkey_e9
+    FROM sampled
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each doc draws key = -ln(u)/w with u a deterministic
+    hash-uniform in (0,1] and w = n_chars; the k smallest keys are an
+    exact weighted sample without replacement. The length weighting
+    is the standard curation move of sampling tokens, not documents.
+
+    Determinism across engines: u = (hex32('wrs:'||doc_id)+1)/2^32 is
+    exact (integer hash, power-of-two divide); the only inexact op is
+    ln, and both selection AND ranking run on the INTEGER nano-key
+    CAST(round(key*1e9) AS BIGINT) with a doc_id tiebreak, so engines
+    can only diverge if a doc's ln lands within ~1e-10 relative of a
+    rounding boundary (same risk class as the other ln-based oracles:
+    tfidf_top_terms, text_lm_score).
+
+    Scale shape: the score is a narrow per-row expression on the
+    scan; selection is a global top-k (orderBy + limit =
+    TakeOrderedAndProject — per-partition k-heaps merged on the
+    driver, no shuffle, O(k) memory per partition). The rank window
+    sorts only the k surviving rows. Sampling 100 TB is one pass, no
+    shuffle — the distributed form of the classic single-node
+    reservoir. Reference analog: none (the reference samples frames
+    by fixed stride, src/frame_producer.py:110); this is the
+    LLM-pipeline generalization."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hex32_spark(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(4294967296.0)
+    wkey = F.round(-F.log(u) / F.col("n_chars") * 1e9, 0).cast("bigint")
+    sampled = (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            wkey.alias("wkey_e9"),
+        )
+        .orderBy(F.col("wkey_e9").asc(), F.col("doc_id").asc())
+        .limit(_WRS_K)
+    )
+    # rank window is unpartitioned BY DESIGN: it runs over the k rows
+    # that survive the limit, never over the corpus
+    w = W.orderBy(F.col("wkey_e9").asc(), F.col("doc_id").asc())
+    return sampled.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "source",
+        "weight",
+        "wkey_e9",
+    )

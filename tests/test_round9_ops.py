@@ -264,3 +264,70 @@ def test_routed_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
 
     n_dirs = len([d for d in os.listdir(path) if d.startswith("camera=")])
     assert n_dirs == _ROUTE_CAMERAS
+
+
+def test_countmin_never_undercounts_and_bounds_overcount(spark, sf_dir):
+    """CMS guarantee: est >= exact always; and with d=4 rows the min
+    over rows keeps the overcount well under one row's worst case
+    (total_mass / w per colliding bucket). The fixture check pins the
+    invariant, not the luck: every ok flag TRUE and overcount >= 0."""
+    from eye_of_sauron_spark.plans.aggregation import sketch_countmin_freq
+
+    rows = sketch_countmin_freq(spark, sf_dir).collect()
+    assert rows, "top-N estimate set must be non-empty"
+    for r in rows:
+        assert r["ok"], r
+        assert r["overcount"] == r["cm_est"] - r["exact_n"] >= 0, r
+
+
+def test_countmin_plan_broadcasts_sketch_and_takeordered_topn(spark, sf_dir):
+    """Scale shape: the 256-cell sketch reaches the probe join as a
+    BroadcastExchange (never a shuffle join against the key table)
+    and the top-N exact side is TakeOrdered, not a global sort."""
+    from eye_of_sauron_spark.plans.aggregation import sketch_countmin_freq
+
+    plan = (
+        sketch_countmin_freq(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with w = n_chars: the mean weight of the k sampled docs
+    must exceed the corpus mean (length-biased inclusion), and the
+    sample must be exactly k distinct docs with ranks 1..k."""
+    from eye_of_sauron_spark.plans.curation import _WRS_K, sample_weighted_reservoir
+    from eye_of_sauron_spark.sources import load_table
+
+    out = sample_weighted_reservoir(spark, sf_dir).collect()
+    assert len(out) == _WRS_K
+    assert sorted(r["rank"] for r in out) == list(range(1, _WRS_K + 1))
+    assert len({r["doc_id"] for r in out}) == _WRS_K
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r["weight"] for r in out) / _WRS_K
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_reservoir_plan_is_takeordered_no_shuffle(spark, sf_dir):
+    """The selection must compile to TakeOrderedAndProject over the
+    scan (per-partition k-heaps, no Exchange before the limit) — a
+    global Sort here would be the 100 TB failure mode."""
+    from eye_of_sauron_spark.plans.curation import sample_weighted_reservoir
+
+    plan = (
+        sample_weighted_reservoir(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
