@@ -978,3 +978,145 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simpson_ppm"),
     )
+
+
+# ------------------------------------------------------ BM25 retrieval
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("dup", "vector", "merge")  # rare + two common (df check
+# in docstring); the rare term dominates ranking via its idf
+_BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {tokens_duck('text')} AS toks
+        FROM documents WHERE n_chars > 0
+    ),
+    stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+        FROM d
+    ),
+    base AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM base WHERE term IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl)))
+                   * 1000000.0) AS BIGINT) AS e6
+        FROM tf JOIN dft USING (term), stats
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(e6) AS BIGINT) AS score_e6,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY doc_id
+    ),
+    top AS (
+        SELECT * FROM per_doc
+        ORDER BY score_e6 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, n_terms, score_e6
+    FROM top
+"""
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75, Lucene idf
+    ln(1+(N-df+0.5)/(df+0.5))): top-10 documents for a fixed 3-term
+    query — the lexical-search complement to the embedding ANN
+    family (similarity_topk_*), and the second half of a hybrid
+    retrieval stack.
+
+    Determinism: each (doc, term) contribution is rounded to a ppm
+    BIGINT before the per-doc sum, so the score is an order-free
+    integer sum (same convention as textrank_keywords' fixed-point
+    ranks) and selection/ranking run entirely on integers with a
+    doc_id tiebreak.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so
+    only query-term postings are ever grouped (at web scale: the
+    inverted-index seek, not a corpus scan-and-group); dl rides the
+    explode as a narrow column (no separate doc-length join); the
+    3-row df table and 1-row corpus stats broadcast; the final top-k
+    is TakeOrderedAndProject. The filtered postings are
+    hash-partitioned on doc_id ONCE — that single clustering
+    satisfies the (doc,dl,term) tf grouping AND the per-doc score
+    sum, so the whole per-doc side runs exchange-free after one
+    shuffle (tfidf_top_terms convention). The corpus is scanned by
+    the stats and postings branches; in production both sides come
+    from index-time artifacts (doc-length norms + postings), so the
+    per-query cost is the seek, not the scan. Reference analog: none
+    — the reference has no text retrieval; modeled on Lucene/ES BM25
+    semantics."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens_spark(F.col("text")).alias("toks"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    base = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+        * F.lit(1000000.0)
+    )
+    per_doc = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(contrib, 0).cast("bigint").alias("e6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("e6").alias("score_e6"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    top = per_doc.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc()).limit(
+        _BM25_TOPK
+    )
+    # rank window runs over the k surviving rows only (post-limit)
+    w = W.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "n_terms",
+        "score_e6",
+    )
