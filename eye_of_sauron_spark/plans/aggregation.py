@@ -343,6 +343,10 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count both percentile functions actually rank over — not
         # count(*): a group of 120 rows with 50 non-null values is a
         # small group for bracketing purposes.
+        # A group whose value column is entirely NULL has nothing to
+        # rank: n_vals=0, vmin/vmax/percentile_approx all NULL, and the
+        # bracket comparison would yield NULL instead of the oracle's
+        # constant TRUE. The contract holds vacuously there.
         small = F.col("n_vals") < F.lit(100)
         lo = F.when(small, F.col("vmin")).otherwise(
             F.try_element_at("ex", F.lit(2 * i + 1))
@@ -351,7 +355,9 @@ def sketch_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_element_at("ex", F.lit(2 * i + 2))
         ) + F.lit(1e-9)
         a = F.try_element_at("ap", F.lit(i + 1))
-        return (a >= lo) & (a <= hi)
+        return F.when(F.col("n_vals") == 0, F.lit(True)).otherwise(
+            (a >= lo) & (a <= hi)
+        )
     return sketched.select(
         "event_type",
         "n_events",
