@@ -49,7 +49,8 @@ class MetricsListener(StreamingQueryListener):
     (inputRowsPerSecond etc.) — the CSV-log analog, fed by the
     engine's own event bus rather than per-row side effects."""
 
-    def __init__(self) -> None:
+    def __init__(self, observation: str = OBSERVATION) -> None:
+        self.observation = observation
         self.batches: list[dict] = []
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -60,8 +61,8 @@ class MetricsListener(StreamingQueryListener):
         row = {
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
-            "observed": dict(p.observedMetrics.get(OBSERVATION).asDict())
-            if p.observedMetrics.get(OBSERVATION) is not None
+            "observed": dict(p.observedMetrics.get(self.observation).asDict())
+            if p.observedMetrics.get(self.observation) is not None
             else None,
         }
         self.batches.append(row)

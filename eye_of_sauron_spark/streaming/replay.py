@@ -1622,3 +1622,125 @@ def stream_funnel_bucketed_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return stages.join(counts, "stage", "left").select(
         "stage", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_users")
     )
+
+
+# ------------------------------------- A8 observe()-metrics replay
+
+_OBS_BATCHES = 8
+_OBS_NAME = "replay_obs"
+
+_OBS_ORACLE = f"""
+    WITH per AS (
+        SELECT CAST({_batch_duck(_OBS_BATCHES)} AS INT) AS oct,
+               count(*) AS n_rows,
+               CAST(sum({cents_duck('value')}) AS BIGINT) AS cents,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY oct
+    )
+    SELECT CAST(row_number() OVER (ORDER BY oct) - 1 AS INT) AS batch,
+           n_rows, cents, min_ts_us, max_ts_us, TRUE AS latency_pos
+    FROM per
+"""
+
+
+@query("stream_observe_metrics_replay", oracle=_OBS_ORACLE)
+def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 observability (reference src/prediction_producer.py:355-361:
+    per-message ``latency = now - ingest_ts`` appended to a per-process
+    CSV), driver-checked through the engine's native metric channel
+    end-to-end: ``observe()`` computes per-micro-batch aggregates
+    INSIDE the running query (no second pass over the data), and a
+    ``StreamingQueryListener`` receives them on the engine's event bus
+    — the returned DataFrame is built from what the LISTENER heard,
+    not from the sink, so a regression anywhere in the
+    observe->progress->listener path shows up as a hash mismatch.
+
+    Determinism: the metrics compared are replay-stable (per-batch row
+    count, integer-cents sum, event-time range in micros); the
+    wall-clock A8 latency metric itself flows through the same
+    observation and is pinned by the one assertion that IS
+    deterministic for a historical fixture: max latency > 0
+    (``latency_pos``). The oracle restates the octile slicing in
+    closed form and dense-ranks non-empty octiles, exactly the
+    arrival order the file source guarantees (harness.py mtime
+    contract), so an empty octile cannot desync the comparison.
+
+    Scale shape: observed metrics are O(1) per micro-batch per
+    executor (partial aggregates merged by the engine) — the 100 TB
+    replacement for per-row metric writes, which would be write
+    amplification of the input itself."""
+    import time as _time
+
+    from .metrics import MetricsListener, with_latency
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    total = ev.count()  # control-plane scalar: drain target for the bus
+    work = tempfile.mkdtemp(prefix="obs_replay_")
+    write_microbatch_files_partitioned(
+        _time_sliced(ev, _OBS_BATCHES), "batch", _OBS_BATCHES, f"{work}/in"
+    )
+    stream = file_stream(spark, f"{work}/in", "ts TIMESTAMP, value DOUBLE")
+    observed = with_latency(stream).observe(
+        _OBS_NAME,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents_spark(F.col("value"))).cast("bigint").alias("cents"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.max("latency_ms").alias("max_latency_ms"),
+    )
+    listener = MetricsListener(_OBS_NAME)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is asynchronous to query termination:
+        # drain the bus until every input row has been accounted for
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            seen = sum(
+                b["observed"]["n_rows"]
+                for b in listener.batches
+                if b["observed"] is not None
+            )
+            if seen >= total:
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"listener drained {seen}/{total} rows before deadline"
+            )
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(work, ignore_errors=True)
+    heard = sorted(
+        (
+            b
+            for b in listener.batches
+            # drop the empty no-data flush batch BEFORE enumerating,
+            # so its position can never gap the dense batch numbering
+            if b["observed"] is not None and b["observed"]["n_rows"] > 0
+        ),
+        key=lambda b: b["batch_id"],
+    )
+    rows = [
+        (
+            i,
+            int(o["n_rows"]),
+            int(o["cents"]),
+            int(o["min_ts_us"]),
+            int(o["max_ts_us"]),
+            o["max_latency_ms"] > 0,
+        )
+        for i, o in enumerate(b["observed"] for b in heard)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch INT, n_rows BIGINT, cents BIGINT, "
+        "min_ts_us BIGINT, max_ts_us BIGINT, latency_pos BOOLEAN",
+    )

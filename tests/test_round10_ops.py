@@ -69,3 +69,37 @@ def test_get_spark_rocksdb_applies_to_existing_session(spark):
     finally:
         spark.conf.set(key, default)
         spark.conf.unset(changelog)
+
+
+def test_observe_metrics_replay_dense_batches(spark, sf_dir):
+    """The A8 driver query's rows must come out DENSE (batch 0..n-1,
+    no gaps even if an empty flush batch lands on the listener bus)
+    and account for every input row exactly once — the listener-side
+    equivalent of delivery accounting. The value/hash parity with the
+    closed-form octile oracle is the generic oracle test's job."""
+    from eye_of_sauron_spark.sources.tables import load_table
+    from eye_of_sauron_spark.streaming.replay import (
+        stream_observe_metrics_replay,
+    )
+
+    out = stream_observe_metrics_replay(spark, sf_dir).collect()
+    assert [r["batch"] for r in sorted(out, key=lambda r: r["batch"])] == list(
+        range(len(out))
+    )
+    assert 2 <= len(out) <= 8
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in out) == total
+    assert all(r["latency_pos"] for r in out)
+    assert all(r["min_ts_us"] <= r["max_ts_us"] for r in out)
+
+
+def test_metrics_listener_custom_observation_name():
+    """MetricsListener(observation=...) keys observedMetrics lookup
+    by the given name (default stays OBSERVATION)."""
+    from eye_of_sauron_spark.streaming.metrics import (
+        OBSERVATION,
+        MetricsListener,
+    )
+
+    assert MetricsListener().observation == OBSERVATION
+    assert MetricsListener("replay_obs").observation == "replay_obs"
