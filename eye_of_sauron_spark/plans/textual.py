@@ -990,6 +990,25 @@ _BM25_TOPK = 10
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
+def _bm25_postings(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """The postings seek: explode tokens, keep ONLY query-term rows
+    (the filter sits between explode and aggregation, so nothing but
+    query-term occurrences crosses the exchange), cluster by doc_id
+    once, and reduce to (doc_id, dl, term, tf). Plan shape pinned by
+    tests/test_round10_ops.py::test_bm25_postings_plan."""
+    return (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 _BM25_ORACLE = f"""
     WITH d AS (
         SELECT doc_id, {tokens_duck('text')} AS toks
@@ -1053,11 +1072,18 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode as a narrow column (no separate doc-length join); the
     3-row df table and 1-row corpus stats broadcast; the final top-k
     is TakeOrderedAndProject. The filtered postings are
-    hash-partitioned on doc_id ONCE — that single clustering
-    satisfies the (doc,dl,term) tf grouping AND the per-doc score
-    sum, so the whole per-doc side runs exchange-free after one
-    shuffle (tfidf_top_terms convention). The corpus is scanned by
-    the stats and postings branches; in production both sides come
+    hash-partitioned on doc_id ONCE and reduced to (doc,dl,term,tf),
+    then MATERIALIZED (localCheckpoint — the transient
+    inverted-index build): the df aggregation and the per-doc score
+    sum both read the materialized postings, so the corpus-sized
+    explode is computed and shuffled exactly once; every exchange
+    after the materialization moves only the REDUCED postings
+    (O(sum of query-term df) rows, not corpus rows). Without the
+    materialization, Catalyst compiles df's lineage as a SECOND full
+    scan+explode+shuffle of the corpus — the broadcast subtree does
+    not reuse the main tree's exchange (pinned the hard way in
+    tests/test_round10_ops.py: the final plan may contain exactly ONE
+    parquet scan, the stats branch). In production both sides come
     from index-time artifacts (doc-length norms + postings), so the
     per-query cost is the seek, not the scan. Reference analog: none
     — the reference has no text retrieval; modeled on Lucene/ES BM25
@@ -1071,16 +1097,13 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     )
-    base = (
-        d.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
-        )
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tf = (
+        _bm25_postings(spark, d)
+        # materialize the query-term postings ONCE: both consumers
+        # below (df count + per-doc sum) read this, instead of each
+        # recompiling the scan->explode->shuffle lineage
+        .localCheckpoint(eager=True)
     )
-    tf = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
         F.log(

@@ -103,3 +103,104 @@ def test_metrics_listener_custom_observation_name():
 
     assert MetricsListener().observation == OBSERVATION
     assert MetricsListener("replay_obs").observation == "replay_obs"
+
+
+# ------------------------------------------------ BM25 evidence package
+
+
+def test_bm25_postings_plan(spark, sf_dir):
+    """The postings seek must compile as: term filter BETWEEN the
+    explode and the aggregation (only query-term occurrences cross
+    the wire), exactly ONE doc_id exchange, and the n_chars gate
+    pushed into the parquet scan."""
+    import re
+
+    from eye_of_sauron_spark.functions.text import tokens_spark
+    from eye_of_sauron_spark.plans.textual import _bm25_postings
+    from eye_of_sauron_spark.sources import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens_spark(F.col("text")).alias("toks"))
+    )
+    plan = _bm25_postings(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1
+    assert "Exchange hashpartitioning(term" not in plan
+    # filter sits above the Generate(explode) and below the exchange
+    filt = plan.index("Filter term")
+    assert "dup,vector,merge" in plan[filt : filt + 120]
+    assert plan.index("Generate explode") > filt > plan.index("Exchange hashpartitioning(doc_id")
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]" in plan
+
+
+def test_bm25_final_plan_reads_materialized_postings(spark, sf_dir):
+    """After the postings materialize (localCheckpoint), the final
+    plan may contain exactly ONE parquet scan — the 1-row stats
+    branch. A second documents scan means Catalyst recompiled the
+    corpus-sized explode for the df broadcast (the shape the
+    materialization exists to prevent). df/stats broadcast; the
+    selection is TakeOrderedAndProject, never a global Sort."""
+    from eye_of_sauron_spark.plans.textual import search_bm25_topk
+
+    df = search_bm25_topk(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "documents.parquet" in plan  # ... and it is the stats branch
+    assert plan.count("Scan ExistingRDD") == 2  # df + per-doc readers
+    assert plan.count("BroadcastExchange") == 2  # 3-row df, 1-row stats
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [score_e6" not in plan
+
+
+def test_bm25_ppm_boundary_determinism(spark, tmp_path):
+    """Scores are ppm BIGINTs, so ranking is integer selection: a
+    1-ppm score gap and an exact score tie are both STABLE across
+    engines and runs. Fixture: clones (identical tf/dl -> bit-equal
+    doubles -> equal e6, rank decided by the doc_id tiebreak) plus a
+    dl ladder (adjacent docs differ by one filler token -> ppm-scale
+    score deltas). Spark must match DuckDB exactly, twice (the
+    second run rebuilds the postings checkpoint from scratch)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from _oracle import compare
+
+    import duckdb
+
+    from eye_of_sauron_spark.plans.registry import get
+    from eye_of_sauron_spark.plans.textual import search_bm25_topk
+
+    rows = []
+    # 4 exact clones: same text -> identical scores, doc_id tiebreak
+    for i in range(4):
+        rows.append((i, "dup dup vector " + "pad " * 10))
+    # dl ladder: one extra filler token per doc -> adjacent scores
+    # differ at ppm scale (the rounding boundary under test)
+    for i in range(4, 40):
+        rows.append((i, "dup merge " + "pad " * (5 + i)))
+    # background docs so df < n and idf is nondegenerate
+    for i in range(40, 120):
+        rows.append((i, "filler text only " + "pad " * (i % 7)))
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1].strip() for r in rows]}
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    oracle = get("search_bm25_topk").oracle
+    first = search_bm25_topk(spark, str(tmp_path))
+    compare(first, con, oracle)
+    out = first.collect()
+    # the clone block must appear tie-broken by doc_id, ranks adjacent
+    clone_ranks = sorted(r["rank"] for r in out if r["doc_id"] < 4)
+    clone_ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"]) if r["doc_id"] < 4]
+    assert clone_ids == sorted(clone_ids)
+    assert clone_ranks == list(range(min(clone_ranks), min(clone_ranks) + len(clone_ranks)))
+    # run 2: fresh checkpoint, identical rows
+    second = search_bm25_topk(spark, str(tmp_path))
+    assert sorted(map(tuple, second.collect())) == sorted(map(tuple, out))
