@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Simulate the external driver's correctness gate locally.
+
+Runs the first N (default 50 — the driver's measured per-round budget)
+entries of ``__spark_entry__.queries()`` in registry iteration order
+against their DuckDB oracles at the given scale factor, using the same
+order-insensitive compare the pytest suite uses. Run this after the
+round's last code change so ``CORRECTNESS_r{N}.json`` holds no
+surprises.
+
+    python tools/driver_sim.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    import __spark_entry__ as entry_mod
+    from _oracle import compare, duckdb_con
+
+    from eye_of_sauron_spark.session import get_spark
+
+    spark = get_spark("driver-sim")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = list(queries)[:n]
+    con = duckdb_con(sf_dir)
+    fails: list[str] = []
+    t0 = time.time()
+    for i, name in enumerate(names):
+        try:
+            compare(queries[name](spark, sf_dir), con, oracles[name])
+            print(f"{i + 1:3d}/{len(names)} OK   {name}", flush=True)
+        except Exception as exc:  # noqa: BLE001 — report, keep going
+            fails.append(name)
+            print(
+                f"{i + 1:3d}/{len(names)} FAIL {name}: "
+                f"{type(exc).__name__}: {exc}",
+                flush=True,
+            )
+    print(f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
