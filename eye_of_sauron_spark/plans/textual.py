@@ -21,6 +21,7 @@ from ..functions.text import (
     tokens_duck,
     tokens_spark,
 )
+from ..functions.vector import cosine_duck, cosine_spark
 from ..sources import load_table
 from .registry import query
 
@@ -1009,8 +1010,10 @@ def _bm25_postings(spark: SparkSession, d: DataFrame) -> DataFrame:
     )
 
 
-_BM25_ORACLE = f"""
-    WITH d AS (
+# the per-doc BM25 relation as shared CTEs: search_bm25_topk selects
+# its top-k; search_hybrid_rrf fuses its ranks with the vector branch
+_BM25_PERDOC_CTES = f"""
+    d AS (
         SELECT doc_id, {tokens_duck('text')} AS toks
         FROM documents WHERE n_chars > 0
     ),
@@ -1040,7 +1043,10 @@ _BM25_ORACLE = f"""
         SELECT doc_id, CAST(sum(e6) AS BIGINT) AS score_e6,
                CAST(count(*) AS BIGINT) AS n_terms
         FROM scored GROUP BY doc_id
-    ),
+    )"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_PERDOC_CTES},
     top AS (
         SELECT * FROM per_doc
         ORDER BY score_e6 DESC, doc_id ASC LIMIT {_BM25_TOPK}
@@ -1050,6 +1056,59 @@ _BM25_ORACLE = f"""
            doc_id, n_terms, score_e6
     FROM top
 """
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_e6, n_terms) for every document matching at
+    least one query term — the relation both retrieval queries rank.
+    Plan shape (single corpus explode via the postings
+    materialization, broadcast df/stats) is described in
+    search_bm25_topk's docstring and pinned in
+    tests/test_round10_ops.py."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens_spark(F.col("text")).alias("toks"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        _bm25_postings(spark, d)
+        # materialize the query-term postings ONCE: both consumers
+        # below (df count + per-doc sum) read this, instead of each
+        # recompiling the scan->explode->shuffle lineage
+        .localCheckpoint(eager=True)
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+        * F.lit(1000000.0)
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(contrib, 0).cast("bigint").alias("e6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("e6").alias("score_e6"),
+            F.count("*").alias("n_terms"),
+        )
+    )
 
 
 @query("search_bm25_topk", oracle=_BM25_ORACLE)
@@ -1088,50 +1147,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query cost is the seek, not the scan. Reference analog: none
     — the reference has no text retrieval; modeled on Lucene/ES BM25
     semantics."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("n_chars") > 0)
-        .select("doc_id", tokens_spark(F.col("text")).alias("toks"))
-    )
-    stats = d.agg(
-        F.count("*").alias("n"),
-        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        _bm25_postings(spark, d)
-        # materialize the query-term postings ONCE: both consumers
-        # below (df count + per-doc sum) read this, instead of each
-        # recompiling the scan->explode->shuffle lineage
-        .localCheckpoint(eager=True)
-    )
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    contrib = (
-        F.log(
-            F.lit(1.0)
-            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        )
-        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (
-                F.lit(1.0)
-                - F.lit(_BM25_B)
-                + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
-            )
-        )
-        * F.lit(1000000.0)
-    )
-    per_doc = (
-        tf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(contrib, 0).cast("bigint").alias("e6"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("e6").alias("score_e6"),
-            F.count("*").alias("n_terms"),
-        )
-    )
+    per_doc = _bm25_per_doc(spark, sf_dir)
     top = per_doc.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc()).limit(
         _BM25_TOPK
     )
@@ -1142,4 +1158,134 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_terms",
         "score_e6",
+    )
+
+
+# ------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_DEPTH = 50  # per-branch candidate depth
+_RRF_K0 = 60  # standard RRF damping constant
+_RRF_TOPK = 10
+_RRF_QVEC = 0  # the fixed query: embedding of item 0
+
+_RRF_ORACLE = f"""
+    WITH {_BM25_PERDOC_CTES},
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS lex_rank
+        FROM per_doc ORDER BY score_e6 DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ),
+    qv AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = {_RRF_QVEC}
+    ),
+    vscored AS (
+        SELECT vec_id, {cosine_duck('qe', 'embedding')} AS cos
+        FROM embeddings, qv WHERE vec_id != {_RRF_QVEC}
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY cos DESC, vec_id ASC) AS INT) AS vec_rank
+        FROM vscored ORDER BY cos DESC, vec_id ASC LIMIT {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT doc_id, l.lex_rank, v.vec_rank,
+               CAST(coalesce(1000000000 // ({_RRF_K0} + l.lex_rank), 0)
+                  + coalesce(1000000000 // ({_RRF_K0} + v.vec_rank), 0)
+                  AS BIGINT) AS rrf_ppb
+        FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+    ),
+    top AS (
+        SELECT * FROM fused ORDER BY rrf_ppb DESC, doc_id ASC LIMIT {_RRF_TOPK}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, lex_rank, vec_rank, rrf_ppb
+    FROM top
+"""
+
+
+@query("search_hybrid_rrf", oracle=_RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k0=60) of the BM25
+    lexical branch (search_bm25_topk's per-doc relation, fixed 3-term
+    query) and an embedding-cosine branch (fixed query = item 0's
+    vector over the embeddings table, which shares the documents id
+    space) — the fusion step that completes the hybrid stack the two
+    retrieval families provide halves of. Items surface on lexical
+    evidence alone, vector evidence alone, or both (full-outer
+    fusion), matching Cormack et al.'s RRF as used by
+    Elasticsearch/OpenSearch hybrid search.
+
+    Determinism: each branch contributes floor(1e9/(k0+rank)) as an
+    EXACT integer division of the branch's integer rank, so the fused
+    score is a sum of BIGINTs — no float addition to drift — and the
+    final selection runs on (rrf_ppb, doc_id) integers. Branch ranks
+    themselves follow the established conventions: BM25 ranks are ppm
+    integers; cosine ranks order identically in both engines because
+    cosine_spark/cosine_duck share one fold order.
+
+    Scale shape: the lexical branch pays the postings seek (see
+    search_bm25_topk); the vector branch is one broadcast query row
+    against the embedding scan with TakeOrderedAndProject depth-50
+    selection (swap in the IVF/LSH variants from plans/vector.py for
+    a billion-vector corpus — the fusion is rank-based, so the
+    branch's retrieval algorithm is a plug); fusion itself joins two
+    <=depth-row lists (broadcast, sub-millisecond at any corpus
+    size). A regression anywhere in either branch's top-50 ORDER
+    shifts a rank and breaks the fused hash. Reference analog: none —
+    modeled on RRF (Cormack/Clarke/Buettcher, SIGIR'09) and
+    Lucene-style hybrid retrieval."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    w_lex = W.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    lex = (
+        per_doc.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(w_lex).cast("int").alias("lex_rank"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe")
+    )
+    vscored = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine_spark(F.col("qe"), F.col("embedding")).alias("cos")
+        )
+    )
+    w_vec = W.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    vec = (
+        vscored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(_RRF_DEPTH)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_vec).cast("int").alias("vec_rank"),
+        )
+    )
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000000 DIV ({_RRF_K0} + lex_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000000 DIV ({_RRF_K0} + vec_rank)"), F.lit(0)
+        )
+    ).cast("bigint")
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_ppb")
+    )
+    top = fused.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOPK
+    )
+    w_out = W.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w_out).cast("int").alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        "rrf_ppb",
     )

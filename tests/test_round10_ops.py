@@ -204,3 +204,50 @@ def test_bm25_ppm_boundary_determinism(spark, tmp_path):
     # run 2: fresh checkpoint, identical rows
     second = search_bm25_topk(spark, str(tmp_path))
     assert sorted(map(tuple, second.collect())) == sorted(map(tuple, out))
+
+
+# --------------------------------------------- hybrid RRF retrieval
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """The fused score must be EXACTLY the sum of integer
+    floor(1e9/(k0+rank)) contributions of whichever branch ranks are
+    present — recomputed independently here — with dense output
+    ranks and (rrf_ppb desc, doc_id asc) ordering. Branch-rank
+    parity with DuckDB is the generic oracle test's job."""
+    from eye_of_sauron_spark.plans.textual import (
+        _RRF_K0,
+        _RRF_TOPK,
+        search_hybrid_rrf,
+    )
+
+    out = sorted(search_hybrid_rrf(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert len(out) == _RRF_TOPK
+    prev = None
+    for r in out:
+        expect = sum(
+            1_000_000_000 // (_RRF_K0 + rk)
+            for rk in (r["lex_rank"], r["vec_rank"])
+            if rk is not None
+        )
+        assert r["rrf_ppb"] == expect, r
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        if prev is not None:
+            assert (prev["rrf_ppb"], -prev["doc_id"]) >= (r["rrf_ppb"], -r["doc_id"])
+        prev = r
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    """Each branch's depth-k selection and the final top-k must all
+    compile to TakeOrderedAndProject (3 total — never a global
+    Sort), and the single-row query vector must broadcast, not
+    cartesian-join."""
+    from eye_of_sauron_spark.plans.textual import search_hybrid_rrf
+
+    df = search_hybrid_rrf(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
