@@ -413,7 +413,9 @@ def minmax_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_projection_pushdown",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS net_price
     FROM lineitem
     WHERE l_returnflag = 'R'
       AND l_quantity > 45
@@ -423,8 +425,18 @@ def minmax_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain scan->filter->project; predicates and the 6-column read
     schema push into the parquet scan (verified in tests via the
-    physical plan's PushedFilters)."""
+    physical plan's PushedFilters).
+
+    net_price is computed in exact DECIMAL(12,2) arithmetic before the
+    2-digit round: prices and discounts are 2-decimal values, so the
+    product is exact in 4 decimals and both engines round the same
+    number. Rounding the raw double product instead disagrees between
+    engines at x.xx5 boundaries — 5 rows at sf0.1 (none at sf0.01),
+    found by the full-registry sf0.1 oracle pass.
+    """
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
     return (
         li.filter(
             (F.col("l_returnflag") == "R")
@@ -434,9 +446,9 @@ def filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
-            ).alias("net_price"),
+            F.round(price * (F.lit(1).cast("decimal(12,2)") - disc), 2)
+            .cast("double")
+            .alias("net_price"),
         )
     )
 
