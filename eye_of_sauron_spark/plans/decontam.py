@@ -29,7 +29,9 @@ from pyspark.sql.window import Window as W
 
 from ..functions.hashing import hex32_duck, hex32_spark
 from ..functions.text import shingles_duck, shingles_spark, tokens_spark
+from ..functions.vector import cosine_duck, cosine_spark
 from ..sources import load_table
+from .dedup import _COSINE_NEARDUP, _DRIFT_DUCK, _EMB_COPY_OFFSET, _emb_corpus
 from .registry import query
 
 
@@ -576,5 +578,141 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.col("n_tokens") - F.size(kept)).cast("bigint").alias("n_removed"),
             F.concat_ws(" ", kept).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------- semantic (embedding)
+
+# The lexical rules above catch verbatim/near-verbatim eval leakage;
+# paraphrased leakage needs the SEMANTIC rule: flag any training item
+# whose embedding is near-identical to some held-out eval item. Same
+# hash-routed eval split idea as decontaminate_ngram_overlap, on the
+# embeddings table's duplicated-ingest corpus (plans/dedup.py::
+# _emb_corpus — original + deterministically drifted copy of every
+# 5th vector), so original/copy pairs straddling the split provide a
+# guaranteed, deterministic planted-contamination signal.
+_SEM_EVAL_MOD = 8  # ~1/8 of the corpus plays the held-out eval suite
+_SEM_EVAL_KEY_DUCK = "'sev:' || CAST(vec_id AS VARCHAR)"
+_SEM_EVAL_DUCK = f"{hex32_duck(_SEM_EVAL_KEY_DUCK)} % {_SEM_EVAL_MOD} = 0"
+
+_SEM_DECONTAM_SQL = f"""
+    WITH corpus AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_EMB_COPY_OFFSET} AS vec_id, label, {_DRIFT_DUCK} AS emb
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    tagged AS (
+        SELECT vec_id, label, emb, {_SEM_EVAL_DUCK} AS is_eval FROM corpus
+    ),
+    scored AS (
+        SELECT t.vec_id AS train_vec, t.label AS label,
+               e.vec_id AS eval_vec,
+               {cosine_duck('t.emb', 'e.emb')} AS cos
+        FROM tagged t, tagged e
+        WHERE NOT t.is_eval AND e.is_eval
+    ),
+    best AS (
+        SELECT train_vec, label, eval_vec, cos,
+               row_number() OVER (
+                   PARTITION BY train_vec ORDER BY cos DESC, eval_vec
+               ) AS rn
+        FROM scored
+    )
+    SELECT train_vec, CAST(label AS INT) AS label,
+           eval_vec AS matched_eval, round(cos, 6) AS cosine
+    FROM best WHERE rn = 1 AND cos >= {_COSINE_NEARDUP}
+"""
+
+
+@query("decontam_semantic_embedding", oracle=_SEM_DECONTAM_SQL)
+def decontam_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space member of the
+    family whose lexical members are decontaminate_ngram_overlap
+    (8-token span overlap) and the span operators: emit every TRAIN
+    corpus item whose max cosine against the held-out EVAL slice is
+    >= 0.9, with the argmax eval item (ties broken to the smallest
+    eval vec_id) — the per-document drop list paraphrase-level
+    leakage checks produce.
+
+    The eval slice is hash-routed (md5 of 'sev:'||vec_id, ~1/8), so
+    planted original/drifted-copy pairs (cosine ~1) straddle the
+    split deterministically and the output is provably non-vacuous.
+
+    Scale shape: eval suites are FIXED-SIZE while the training corpus
+    grows, so the eval side folds into ONE broadcast row of (vec_id,
+    emb) structs (collect_list aggregate — never a driver collect)
+    and the verdict is a NARROW per-row argmax over that array:
+    array_sort with the cos-desc/id-asc comparator, element [0] —
+    identical shape to similarity_topk_ivf's cell assignment. The
+    train branch carries exactly one exchange (the _spread
+    parallelism repartition, key-free) and the plan has no window, no
+    shuffle join, no corpus x eval row explosion — at 100 TB this is
+    a map-side-only scan whose cost is linear in the corpus with a
+    corpus-independent broadcast. Per-element cosine is the bitwise-
+    portable fold from functions/vector.py, max/tie selection is
+    order-independent, so the float verdict hash-compares exactly.
+    Reference analog: the A5/A6 broadcast-target match
+    (src/prediction_producer.py:314-325) repurposed as a train-vs-eval
+    contamination gate.
+    """
+    corpus = _emb_corpus(_t(spark, sf_dir, "embeddings"))
+    is_eval = (
+        hex32_spark(F.concat(F.lit("sev:"), F.col("vec_id").cast("string")))
+        % _SEM_EVAL_MOD
+        == 0
+    )
+    ev_row = corpus.filter(is_eval).agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("evs")
+    )
+
+    def _scores(vec: Column) -> Column:
+        return F.transform(
+            F.col("evs"),
+            lambda s: F.struct(
+                cosine_spark(vec, s["emb"]).alias("cos"),
+                s["vec_id"].alias("ev"),
+            ),
+        )
+
+    def _by_cos_desc(left: Column, right: Column) -> Column:
+        # ORDER BY cos DESC, ev ASC with NULLs (zero-norm vectors)
+        # last: cosine >= -1, so -2 sorts a NULL below every score
+        lc = F.coalesce(left["cos"], F.lit(-2.0))
+        rc = F.coalesce(right["cos"], F.lit(-2.0))
+        return (
+            F.when(lc > rc, F.lit(-1))
+            .when(lc < rc, F.lit(1))
+            .when(left["ev"] < right["ev"], F.lit(-1))
+            .when(left["ev"] > right["ev"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    best = F.array_sort(_scores(F.col("emb")), _by_cos_desc)[0]
+    # explode_outer of the 0-or-1-element thresholded array, NOT a
+    # plain filter on best.cos: Catalyst collapses the projection and
+    # merges that filter into the BNLJ condition, re-evaluating the
+    # whole argmax fold twice per row (once as the join predicate,
+    # once for the output columns). A filter on the GENERATED column
+    # cannot be pushed below the Generate (same rule exploited by
+    # decontaminate_ngram_overlap above), so the fold runs exactly
+    # once; explode_OUTER keeps InferFiltersFromGenerate from adding
+    # a size()>0 pre-filter that would re-inline it.
+    hit = F.filter(F.array(best), lambda b: b["cos"] >= _COSINE_NEARDUP)
+    return (
+        _spread(corpus.filter(~is_eval), "vec_id")
+        .crossJoin(F.broadcast(ev_row))
+        .select(
+            F.col("vec_id").alias("train_vec"),
+            F.col("label").cast("int").alias("label"),
+            F.explode_outer(hit).alias("best"),
+        )
+        .filter(F.col("best").isNotNull())
+        .select(
+            "train_vec",
+            "label",
+            F.col("best.ev").alias("matched_eval"),
+            F.round(F.col("best.cos"), 6).alias("cosine"),
         )
     )

@@ -251,3 +251,95 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_semantic_decontam_closed_form_and_planted(spark, sf_dir, tmp_path):
+    """Two contracts for decontam_semantic_embedding:
+
+    1. Closed form on a synthetic corpus: a train vector identical to
+       an eval vector is flagged at cosine 1.0 against exactly that
+       eval item; an orthogonal train vector is not flagged; eval
+       items never appear in the output.
+    2. Non-vacuity + planted-signal guarantee on the real fixture:
+       every original/drifted-copy pair that straddles the hash-routed
+       eval split puts its TRAIN member in the flagged set (the
+       planted contamination the operator exists to catch).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from eye_of_sauron_spark.plans.decontam import (
+        _SEM_EVAL_MOD,
+        decontam_semantic_embedding,
+    )
+
+    def is_eval(vid: int) -> bool:
+        h = hashlib.md5(f"sev:{vid}".encode()).hexdigest()[:8]
+        return int(h, 16) % _SEM_EVAL_MOD == 0
+
+    # --- 1. synthetic closed form (ids chosen off the %5==0 drift
+    # path so the corpus is exactly the three written rows)
+    from itertools import count, islice
+
+    ev = next(i for i in count(1) if is_eval(i) and i % 5)
+    tr_same, tr_orth = islice(
+        (j for j in count(1) if not is_eval(j) and j % 5 and j != ev), 2
+    )
+    base = np.zeros(64, dtype=np.float32)
+    base[0] = 1.0
+    orth = np.zeros(64, dtype=np.float32)
+    orth[1] = 1.0
+    pd.DataFrame(
+        {
+            "vec_id": np.array([ev, tr_same, tr_orth], dtype=np.int64),
+            "embedding": [base, base.copy(), orth],
+            "label": np.array([0, 1, 2], dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["train_vec"]: r
+        for r in decontam_semantic_embedding(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {tr_same}
+    assert out[tr_same]["matched_eval"] == ev
+    assert out[tr_same]["cosine"] == 1.0
+
+    # --- 2. real fixture: planted straddling pairs are all caught
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    planted_train = set()
+    for vid in emb.vec_id[emb.vec_id % 5 == 0]:
+        o, c = int(vid), int(vid) + 1_000_000
+        if is_eval(o) != is_eval(c):
+            planted_train.add(c if is_eval(o) else o)
+    flagged = {
+        r["train_vec"]
+        for r in decontam_semantic_embedding(spark, sf_dir).collect()
+    }
+    assert planted_train, "fixture must plant at least one straddling pair"
+    assert planted_train <= flagged
+    # eval items never leak into the train-side verdict
+    assert not any(is_eval(v) for v in flagged)
+
+
+def test_semantic_decontam_plan_shape(spark, sf_dir):
+    """The verdict must be a map-side-only scan: ONE broadcast
+    nested-loop join against the single-row eval array (no cartesian
+    product, no shuffle join, no window), exactly one corpus-side
+    hashpartitioning exchange (the key-free _spread), and the argmax
+    fold evaluated ONCE — behind the Generate barrier, never inlined
+    into the join condition."""
+    from eye_of_sauron_spark.plans.decontam import decontam_semantic_embedding
+
+    df = decontam_semantic_embedding(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    bnlj = next(l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l)
+    assert "array_sort" not in bnlj, "argmax fold leaked into the join condition"
+    assert plan.count("Generate explode") == 1
+    # corpus branch: exactly the parallelism spread, no keyed shuffle
+    assert plan.count("REPARTITION_BY_NUM") == 1
