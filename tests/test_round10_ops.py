@@ -343,3 +343,145 @@ def test_semantic_decontam_plan_shape(spark, sf_dir):
     assert plan.count("Generate explode") == 1
     # corpus branch: exactly the parallelism spread, no keyed shuffle
     assert plan.count("REPARTITION_BY_NUM") == 1
+
+
+def _exec_final_plan(df):
+    """Execute df via collect() and return (final physical plan node,
+    plan string) — metrics are only populated on the Dataset's own
+    QueryExecution, not on a fresh one from a write command."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        final = plan.executedPlan()  # unwrap AdaptiveSparkPlanExec
+    except Exception:
+        final = plan
+    return final, final.toString()
+
+
+def _walk_metrics(node, cls_substr, wanted):
+    """Collect {metric: value} dicts from every plan node whose class
+    name contains cls_substr (descends into AQE query stages)."""
+    out = []
+    if cls_substr in node.getClass().getSimpleName():
+        row = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in wanted:
+                row[kv._1()] = kv._2().value()
+        out.append(row)
+    ch = node.children().iterator()
+    while ch.hasNext():
+        out += _walk_metrics(ch.next(), cls_substr, wanted)
+    try:  # QueryStageExec / ReusedExchange wrap their subtree in .plan()
+        out += _walk_metrics(node.plan(), cls_substr, wanted)
+    except Exception:
+        pass
+    return out
+
+
+def test_runtime_bloom_filter_prunes_probe_shuffle(spark, sf_dir):
+    """session.py enables runtime bloom-filter injection; this pins
+    that the lever actually FIRES: on a shuffled lineitem-orders join
+    with a selective creation side, Catalyst must inject a
+    might_contain(bloom) filter on the probe side BELOW its exchange,
+    and the measured shuffleRecordsWritten must drop to ~the exact
+    semi-join cardinality (the minimum any shuffled join must move)
+    instead of the full probe table. Thresholds are lowered only
+    because the local fixture is tiny — at 100 TB the defaults (10 GB
+    probe-side scan) fire on their own."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.sources import load_table
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: conf.get(k) for k in keys}
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_li = li.count()
+    n_semi = li.join(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        final, s = _exec_final_plan(build())
+        assert "might_contain" in s, "bloom filter was not injected"
+        on = _walk_metrics(final, "ShuffleExchange", ("shuffleRecordsWritten",))
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        final_off, s_off = _exec_final_plan(build())
+        assert "might_contain" not in s_off
+        off = _walk_metrics(
+            final_off, "ShuffleExchange", ("shuffleRecordsWritten",)
+        )
+    finally:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            conf.set(k, v)
+    probe_on = max(m["shuffleRecordsWritten"] for m in on)
+    probe_off = max(m["shuffleRecordsWritten"] for m in off)
+    # without the bloom, the whole probe table crosses the wire
+    assert probe_off == n_li
+    # with it, ~only the true matches do (small bloom FP allowance)
+    assert n_semi <= probe_on <= n_semi * 1.05 + 100, (probe_on, n_semi)
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_dir, tmp_path):
+    """Partition-pruning's RUNTIME form: a filter on a NON-join dim
+    column (so no static constant propagation can pre-prune) must
+    still reach the partitioned fact scan as a
+    dynamicpruningexpression, and the executed scan must read exactly
+    the partitions the dim filter selects — 1 of 5 here. This is the
+    routed-sink layout's query-side payoff when the partition keys
+    come from a JOIN instead of a literal predicate (the literal case
+    is pinned by routed_sink_pruned_read)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    assert len(types) == 5
+    spark.createDataFrame(
+        [Row(event_type=t, tier=(1 if t == types[0] else 0)) for t in types]
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tier") == 1)
+    j = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    final, s = _exec_final_plan(j)
+    assert "dynamicpruningexpression(event_type" in s
+    scans = _walk_metrics(
+        final, "FileSourceScan", ("numPartitions", "numOutputRows")
+    )
+    fact_scan = next(m for m in scans if "numPartitions" in m)
+    assert fact_scan["numPartitions"] == 1
+    n_kept = ev.filter(F.col("event_type") == types[0]).count()
+    assert fact_scan["numOutputRows"] == n_kept
