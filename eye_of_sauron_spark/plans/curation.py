@@ -753,3 +753,91 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "wkey_e9",
     )
+
+
+# -------------------------------------------------- split-integrity audit
+
+from .dedup import _CC_CTES, dedup_cluster_components  # noqa: E402
+
+_LEAKAGE_SQL = f"""
+    WITH RECURSIVE {_CC_CTES},
+    comp AS (
+        SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node
+    ),
+    routed AS (
+        SELECT component,
+               CASE
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT} THEN 'train'
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM comp
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM routed
+    GROUP BY component
+    HAVING count(DISTINCT split) >= 2
+"""
+
+
+@query("split_leakage_neardup", oracle=_LEAKAGE_SQL)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit: near-duplicate CLUSTERS that straddle
+    the deterministic 80/10/10 split — the leakage mode that
+    independent per-document hash routing cannot prevent (a pair of
+    near-identical docs lands train/test with probability 2*p*q
+    regardless of how good the hash is). This is the QA gate a
+    pipeline runs between dedup and split; the production fix it
+    motivates is routing by the cluster KEEPER's id, after which this
+    audit must return zero rows.
+
+    Emits one row per leaking component: member count, how many and
+    which splits it touches (sorted csv), and the per-split member
+    counts. Components are the SAME connected components
+    dedup_cluster_components emits (identical Spark loop, identical
+    recursive-CTE oracle via dedup._CC_CTES) — the audit composes on
+    top rather than redefining near-duplication.
+
+    Scale shape: the CC stage dominates and is already scale-argued
+    (banded candidate generation, pointer-jumping label propagation,
+    O(log diameter) rounds). The audit itself adds ONE exchange over
+    the near-dup NODE set (docs that appear in some near-dup pair —
+    a small fraction of the corpus), grouped on component with
+    all-partial aggregates; the split route is a narrow md5
+    expression. At 100 TB the audit is noise next to the dedup it
+    validates.
+    """
+    comps = dedup_cluster_components(spark, sf_dir).select("doc_id", "component")
+    bucket = (
+        hex32_spark(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        comps.select("component", split.alias("split"))
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.size(F.collect_set("split")).cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )

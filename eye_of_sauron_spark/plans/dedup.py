@@ -789,8 +789,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_ORACLE = f"""
-    WITH RECURSIVE pairs AS (
+# The recursive-CTE closure of the MinHash near-dup pair graph,
+# exposed as a reusable CTE list so downstream audits (e.g.
+# curation.py::split_leakage_neardup) can build on the identical
+# component definition without restating it.
+_CC_CTES = f"""pairs AS (
         {_MINHASH_ORACLE.replace('round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard',
                                  'i.i AS dummy_i')}
     ),
@@ -804,7 +807,10 @@ _CC_ORACLE = f"""
         SELECT node, node AS comp FROM nodes
         UNION
         SELECT sym.d AS node, cc.comp FROM cc JOIN sym ON sym.s = cc.node
-    )
+    )"""
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES}
     SELECT node AS doc_id,
            min(comp) AS component,
            (min(comp) = node) AS is_keeper

@@ -111,14 +111,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # in every pytest run (tests/test_queries_oracle.py). If the
     # driver budget stretches it runs; else it leads the r11 rotation.
     "window_running_total",
-    # search_hybrid_rrf and decontam_semantic_embedding (both
-    # registered r10, BEFORE this round's final pytest/bench/
-    # driver-sim passes, per the r09 process rule) have no slot here
-    # — the 50 above are all mandated by VERDICT r09 item 1. They
-    # LEAD the r11 rotation with window_running_total. Local evidence
-    # meanwhile: each oracle-green at sf0.001 + sf0.01 + sf0.1,
-    # plan shape + operator contracts pytest-pinned
-    # (tests/test_round10_ops.py), benched in BENCH_LOCAL_r10.json.
+    # search_hybrid_rrf, decontam_semantic_embedding and
+    # split_leakage_neardup (all registered r10, BEFORE this round's
+    # final pytest/bench/driver-sim passes, per the r09 process rule)
+    # have no slot here — the 50 above are all mandated by VERDICT
+    # r09 item 1. They LEAD the r11 rotation with
+    # window_running_total. Local evidence meanwhile: each
+    # oracle-green at sf0.001 + sf0.01 + sf0.1, plan shape +
+    # operator contracts pytest-pinned (tests/test_round10_ops.py),
+    # benched in BENCH_LOCAL_r10.json.
     # sketch_quantiles_value changed this round (all-NULL-group
     # short-circuit, r09 ADVICE) but keeps its fresh r09 slot: the
     # change only affects groups with zero non-null values, which do

@@ -485,3 +485,50 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_dir, tmp_path):
     assert fact_scan["numPartitions"] == 1
     n_kept = ev.filter(F.col("event_type") == types[0]).count()
     assert fact_scan["numOutputRows"] == n_kept
+
+
+def test_split_leakage_audit_matches_cluster_routing(spark, sf_dir):
+    """The audit's rows must be EXACTLY the connected components whose
+    members route to >= 2 distinct splits — recomputed independently
+    here from dedup_cluster_components' output plus the md5 split
+    rule in plain python — with per-split member counts, the sorted
+    splits csv, and the n_docs accounting all agreeing. Non-vacuous
+    on the fixture (hash-split guarantees straddling pairs exist)."""
+    import hashlib
+    from collections import defaultdict
+
+    from eye_of_sauron_spark.plans.curation import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+        split_leakage_neardup,
+    )
+    from eye_of_sauron_spark.plans.dedup import dedup_cluster_components
+
+    def split_of(doc: int) -> str:
+        b = int(hashlib.md5(f"split:{doc}".encode()).hexdigest()[:8], 16) % 100
+        if b < _TRAIN_PCT:
+            return "train"
+        return "val" if b < _TRAIN_PCT + _VAL_PCT else "test"
+
+    members = defaultdict(int)
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in dedup_cluster_components(spark, sf_dir).collect():
+        s = split_of(r["doc_id"])
+        members[r["component"]] += 1
+        counts[r["component"]][s] += 1
+    expected = {c for c in members if len(counts[c]) >= 2}
+    out = {
+        r["component"]: r for r in split_leakage_neardup(spark, sf_dir).collect()
+    }
+    assert expected, "fixture must contain at least one straddling cluster"
+    assert set(out) == expected
+    for c, r in out.items():
+        assert r["n_docs"] == members[c] >= 2
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_docs"]
+        assert (r["n_train"], r["n_val"], r["n_test"]) == (
+            counts[c].get("train", 0),
+            counts[c].get("val", 0),
+            counts[c].get("test", 0),
+        )
+        assert r["splits"] == ",".join(sorted(counts[c]))
+        assert r["n_splits"] == len(counts[c])
