@@ -1058,6 +1058,44 @@ _BM25_ORACLE = f"""
 """
 
 
+# One-slot cache for the checkpointed query-term postings, keyed by
+# (applicationId, sf_dir). localCheckpoint(eager=True) runs a job at
+# construction time and its blocks pin executor storage until
+# unpersisted — without the memo, a round running BOTH retrieval
+# queries (search_bm25_topk + search_hybrid_rrf call _bm25_per_doc
+# independently) materializes the postings twice and leaks the first
+# copy for the session lifetime (r10 ADVICE). The slot holds the
+# latest corpus only; switching sf_dir (or session) evicts and
+# unpersists the previous blocks. Not thread-safe — matches the
+# single-threaded driver/bench execution model.
+_BM25_POSTINGS_MEMO: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
+
+
+def _bm25_postings_shared(
+    spark: SparkSession, postings: DataFrame, memo_key: tuple[str, str]
+) -> DataFrame:
+    hit = _BM25_POSTINGS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[0]
+    jsc = spark.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    ck = postings.localCheckpoint(eager=True)
+    after = jsc.getPersistentRDDs()
+    new_ids = [
+        int(i) for i in after.keySet().toArray() if int(i) not in before
+    ]
+    # evict the previous corpus's postings and free its blocks
+    for old_key, (_, old_ids) in list(_BM25_POSTINGS_MEMO.items()):
+        live = jsc.getPersistentRDDs()
+        for rid in old_ids:
+            rdd = live.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+        del _BM25_POSTINGS_MEMO[old_key]
+    _BM25_POSTINGS_MEMO[memo_key] = (ck, new_ids)
+    return ck
+
+
 def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score_e6, n_terms) for every document matching at
     least one query term — the relation both retrieval queries rank.
@@ -1074,12 +1112,14 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     )
-    tf = (
-        _bm25_postings(spark, d)
-        # materialize the query-term postings ONCE: both consumers
-        # below (df count + per-doc sum) read this, instead of each
-        # recompiling the scan->explode->shuffle lineage
-        .localCheckpoint(eager=True)
+    # materialize the query-term postings ONCE: both consumers below
+    # (df count + per-doc sum) AND both retrieval queries read this
+    # single checkpoint, instead of each recompiling the
+    # scan->explode->shuffle lineage
+    tf = _bm25_postings_shared(
+        spark,
+        _bm25_postings(spark, d),
+        (spark.sparkContext.applicationId, sf_dir),
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (

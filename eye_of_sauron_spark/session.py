@@ -99,20 +99,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session
+    # already exists in the JVM, which would leave a caller that
+    # flipped state_store mid-process on the other provider with no
+    # error — in EITHER direction (heap session + rocksdb request, or
+    # rocksdb session + default-heap request). Both stateStore confs
+    # are runtime SQL confs read at stream start, so setting/unsetting
+    # them on the live session is always honored (and idempotent on a
+    # fresh one).
     if state_store == "rocksdb":
-        # getOrCreate silently ignores builder configs when a session
-        # already exists in the JVM, which would leave a caller that
-        # flipped state_store="rocksdb" mid-process on the heap
-        # provider with no error. Both stateStore confs are runtime
-        # SQL confs read at stream start, so re-setting them on the
-        # live session is always honored (and idempotent on a fresh
-        # one).
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
         )
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
     spark.sparkContext.setLogLevel("WARN")
     return spark

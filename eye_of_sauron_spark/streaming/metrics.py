@@ -44,6 +44,20 @@ def observed(df: DataFrame) -> DataFrame:
     )
 
 
+def latest_by_batch(batches: list[dict]) -> list[dict]:
+    """Collapse listener events to ONE per batch_id, keeping the
+    latest event (events arrive in bus order, so last write wins).
+
+    A micro-batch re-executed after a checkpoint recovery/retry emits
+    a second progress event for the same batch_id; summing raw events
+    would over-count delivered rows and duplicate per-batch output
+    (r10 ADVICE, replay.py)."""
+    by_id: dict[int, dict] = {}
+    for b in batches:
+        by_id[b["batch_id"]] = b
+    return sorted(by_id.values(), key=lambda b: b["batch_id"])
+
+
 class MetricsListener(StreamingQueryListener):
     """Collects per-micro-batch observed metrics + engine progress
     (inputRowsPerSecond etc.) — the CSV-log analog, fed by the

@@ -1672,7 +1672,7 @@ def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     amplification of the input itself."""
     import time as _time
 
-    from .metrics import MetricsListener, with_latency
+    from .metrics import MetricsListener, latest_by_batch, with_latency
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     total = ev.count()  # control-plane scalar: drain target for the bus
@@ -1701,11 +1701,16 @@ def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         q.awaitTermination()
         # listener delivery is asynchronous to query termination:
         # drain the bus until every input row has been accounted for
+        # a micro-batch re-executed after a checkpoint recovery/retry
+        # emits a SECOND progress event for the same batch_id —
+        # latest_by_batch collapses to one event per id before any
+        # accounting, so a retry can neither over-count `seen` nor
+        # duplicate per-batch rows below.
         deadline = _time.monotonic() + 60
         while _time.monotonic() < deadline:
             seen = sum(
                 b["observed"]["n_rows"]
-                for b in listener.batches
+                for b in latest_by_batch(listener.batches)
                 if b["observed"] is not None
             )
             if seen >= total:
@@ -1718,16 +1723,13 @@ def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(work, ignore_errors=True)
-    heard = sorted(
-        (
-            b
-            for b in listener.batches
-            # drop the empty no-data flush batch BEFORE enumerating,
-            # so its position can never gap the dense batch numbering
-            if b["observed"] is not None and b["observed"]["n_rows"] > 0
-        ),
-        key=lambda b: b["batch_id"],
-    )
+    heard = [
+        b
+        for b in latest_by_batch(listener.batches)
+        # drop the empty no-data flush batch BEFORE enumerating,
+        # so its position can never gap the dense batch numbering
+        if b["observed"] is not None and b["observed"]["n_rows"] > 0
+    ]
     rows = [
         (
             i,

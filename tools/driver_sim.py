@@ -48,7 +48,24 @@ def main() -> int:
                 f"{type(exc).__name__}: {exc}",
                 flush=True,
             )
+            # one broken query can leave the shared session in a bad
+            # state (e.g. a streaming query that failed mid-start) and
+            # cascade into later rows — clear what we can so the
+            # report stays one-failure-one-row, and flag the first
+            # failure as the likely root cause of any cascade.
+            for q in spark.streams.active:
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            spark.catalog.clearCache()
     print(f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}")
+    if len(fails) > 1:
+        print(
+            f"note: first failure ({fails[0]}) is the likely root cause; "
+            "session state is reset between queries but a cascade from "
+            "one broken query is still possible — fix in order."
+        )
     return 1 if fails else 0
 
 
