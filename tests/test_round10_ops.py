@@ -339,7 +339,10 @@ def test_semantic_decontam_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     bnlj = next(l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l)
-    assert "array_sort" not in bnlj, "argmax fold leaked into the join condition"
+    # r11: the argmax is an aggregate() running max (was array_sort)
+    assert "aggregate(" not in bnlj and "array_sort" not in bnlj, (
+        "argmax fold leaked into the join condition"
+    )
     assert plan.count("Generate explode") == 1
     # corpus branch: exactly the parallelism spread, no keyed shuffle
     assert plan.count("REPARTITION_BY_NUM") == 1
