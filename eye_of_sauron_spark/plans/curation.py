@@ -485,6 +485,108 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ linear quality classifier
+
+# fasttext-shaped quality scoring: hash every token into one of B
+# feature buckets, score a document as the mean bucket weight — the
+# production complement to the rule gates above (rules catch
+# structural junk; a trained linear head catches distributional
+# junk). The weight vector here is DETERMINISTIC (derived from the
+# bucket index with pure integer arithmetic) so both engines hold
+# byte-identical "model parameters" without a side-channel artifact —
+# swapping in trained fasttext weights is a one-array change.
+_QC_BUCKETS = 1024
+_QC_WEIGHT_DUCK = f"((i * 2654435761) % 1000003) % 41 - 20"
+_QC_THRESHOLD_PPM = 0  # keep documents scoring >= 0 ppm
+
+_QC_ORACLE = f"""
+    WITH w AS (
+        SELECT list_transform(range(0, {_QC_BUCKETS}),
+                              i -> {_QC_WEIGHT_DUCK}) AS wv
+    ),
+    d AS (
+        SELECT doc_id, {tokens_duck('text')} AS toks
+        FROM documents WHERE n_chars > 0
+    ),
+    scored AS (
+        SELECT doc_id, len(toks) AS n_tok,
+               CAST(list_sum(list_transform(toks,
+                   t -> wv[CAST({hex32_duck('t')} % {_QC_BUCKETS} AS INT) + 1]
+               )) AS BIGINT) AS raw
+        FROM d, w
+    )
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           CAST(floor(CAST(raw AS DOUBLE) * 1000000 / n_tok) AS BIGINT)
+               AS score_ppm,
+           CAST(floor(CAST(raw AS DOUBLE) * 1000000 / n_tok) AS BIGINT)
+               >= {_QC_THRESHOLD_PPM} AS keep
+    FROM scored
+"""
+
+
+@query("quality_classifier_score", oracle=_QC_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference — the fasttext-style
+    scoring pass production pipelines run after rule gates
+    (quality_filter_pipeline): hash each token into one of 1024
+    feature buckets, score the document as the mean bucket weight
+    (fixed-point ppm BIGINT), threshold into a keep verdict.
+
+    The weight vector folds into ONE broadcast row (the A5
+    broadcast-parameters-activate-a-standing-query pattern,
+    src/prediction_producer.py:260-276) and scoring is a NARROW
+    per-row fold over the token array indexing the broadcast array —
+    no shuffle beyond the parallelism spread, no per-token explode,
+    no join against a weights table (which would shuffle corpus-many
+    (token, doc) pairs at 100 TB). Determinism: bucket = 32-bit
+    md5 % B, weights are integer-derived, the per-doc sum is exact
+    BIGINT, and the ppm mean is floor of an exactly-representable
+    double quotient — so the float-free score hash-compares across
+    engines. Reference analog: A5's broadcast query parameters; model
+    shape per fasttext (Joulin et al. 2016) / DCLM-style quality
+    classifiers."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens_spark(F.col("text")).alias("toks"))
+    )
+    # one exchange purely for scan parallelism (local fixtures scan as
+    # a single split; md5-per-token is the CPU hot spot)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    weights = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_QC_BUCKETS - 1)),
+            lambda i: (i.cast("bigint") * 2654435761) % 1000003 % 41 - 20,
+        ).alias("wv")
+    )
+    raw = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(
+            F.col("wv"),
+            (hex32_spark(t) % _QC_BUCKETS).cast("int") + 1,
+        ),
+    )
+    score_ppm = F.floor(
+        F.col("raw").cast("double") * 1000000 / F.col("n_tok")
+    ).cast("bigint")
+    return (
+        d.crossJoin(F.broadcast(weights))
+        .select(
+            "doc_id",
+            F.size("toks").cast("int").alias("n_tok"),
+            raw.alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            score_ppm.alias("score_ppm"),
+            (score_ppm >= _QC_THRESHOLD_PPM).alias("keep"),
+        )
+    )
+
+
 # ------------------------------------- temperature mixture sampling
 
 # tau = 0.5 via ONE sqrt per source: sqrt is IEEE-correctly-rounded

@@ -30,7 +30,12 @@ from ..functions.hashing import (
     minhash_u_spark,
 )
 from ..functions.text import shingles_duck, shingles_spark, tokens_duck, tokens_spark
-from ..functions.vector import cosine_duck, cosine_spark
+from ..functions.vector import (
+    cosine_duck,
+    cosine_spark,
+    euclid_duck,
+    euclid_spark,
+)
 from ..sources import load_table
 from .registry import query
 from .vector import hyperplane_sig_duck, hyperplane_sig_spark
@@ -785,6 +790,188 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vb").alias("vec_b"),
             F.col("la").cast("int").alias("label"),
             F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------- SemDeDup (cells)
+
+# Cluster-then-prune semantic dedup (SemDeDup, Abbas et al. 2023):
+# assign every vector to its nearest of K fixed centroids, compare
+# pairs ONLY within a cell, drop every vector that has a near-dup
+# with a smaller vec_id in its cell (keep-first, the same rule as
+# dedup_exact_keep_first). K is the scale lever: production picks
+# K ~ corpus/target_cell_size (SemDeDup used 50k cells for LAION) so
+# the within-cell quadratic stays capped while assignment stays a
+# narrow map over broadcast centroids.
+_SEMDEDUP_K = 32  # seed centroids = the K smallest vec_ids
+
+_SEMDEDUP_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_EMB_COPY_OFFSET} AS vec_id, {_DRIFT_DUCK} AS emb
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS se
+        FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    dists AS (
+        SELECT c.vec_id, c.emb, s.seed_id,
+               CAST(floor({euclid_duck('c.emb', 's.se')} * 1000000)
+                    AS BIGINT) AS dm
+        FROM corpus c, seeds s
+    ),
+    assign AS (
+        SELECT vec_id, emb, seed_id AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dm, seed_id
+               ) AS rn
+        FROM dists
+    ),
+    asg AS (SELECT vec_id, emb, cell FROM assign WHERE rn = 1),
+    dropped AS (
+        SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS va,
+               {cosine_duck('a.emb', 'b.emb')} AS cos
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {cosine_duck('a.emb', 'b.emb')} >= {_COSINE_NEARDUP}
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell,
+           min(va) AS keeper, round(arg_min(cos, va), 6) AS cosine
+    FROM dropped GROUP BY vec_id, cell
+"""
+
+
+@query("dedup_semantic_cells", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the duplicated-ingest
+    corpus: k-means cell assignment (the coarse quantizer step shared
+    with kmeans_lloyd_step / similarity_topk_ivf) followed by
+    within-cell pairwise cosine, dropping every vector that is
+    near-dup (cosine >= 0.9) of a smaller-id cell-mate. Output = the
+    PRUNE LIST: (dropped vec_id, its cell, the smallest dominating
+    keeper, cosine to that keeper).
+
+    Determinism: assignment quantizes distances to micro BIGINTs with
+    a (dm, seed_id) tie rule (kmeans_lloyd_step's convention) before
+    any cross-row op; the verdict cosine is the bitwise-portable fold
+    from functions/vector.py; keeper selection is min/arg_min — so
+    the whole result hash-compares against the oracle.
+
+    Scale shape: centroids fold into ONE broadcast row (collect_list
+    aggregate, never a driver collect) and assignment is a NARROW
+    per-row argmin over that array — no exchange beyond the _spread.
+    The assigned relation is hash-partitioned on cell ONCE and reused
+    by BOTH self-join sides (byte-identical subplans ->
+    ReusedExchange, as in dedup_embedding_cosine's banded verify), so
+    pairs are generated co-partitioned, never cross-cell — the plan
+    contains zero cartesian/BNLJ joins besides the 1-row centroid
+    broadcast. Cost is sum(|cell|^2) with |cell| capped by K's
+    choice, vs the LSH family's banded candidates: cells give the
+    RECALL-complete-within-radius trade IVF gives search (a pair
+    split across a cell boundary is missed, same as SemDeDup itself),
+    while dedup_embedding_cosine's hyperplane bands give the
+    hamming-bounded trade. Both exist because both regimes exist at
+    100 TB. Reference analog: A6's tolerance match
+    (src/prediction_producer.py:314-325) generalized from
+    target-vs-stream to corpus-vs-itself, routed through A4's
+    embedding space."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _emb_corpus(emb).select("vec_id", "emb")
+    seeds = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("seed_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("se"),
+    )
+    return _semantic_cells_prune(spark, corpus, seeds)
+
+
+def _semantic_cells_prune(
+    spark: SparkSession, corpus: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """The SemDeDup core over an arbitrary (vec_id, emb) corpus and
+    (seed_id, se) centroid set — split out so the 10x probe can scale
+    K with the corpus (the production lever) without touching the
+    registered query's fixed-K contract."""
+    seeds_row = (
+        seeds
+        .agg(
+            # array_sort on (seed_id, se) structs orders by seed_id
+            # asc, so the fold's first-strict-win tie rule below
+            # resolves equal distances to the SMALLEST seed_id —
+            # the oracle's ORDER BY dm, seed_id
+            F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds")
+        )
+    )
+    _no_cell = F.struct(
+        F.lit(None).cast("bigint").alias("sid"),
+        F.lit(None).cast("bigint").alias("dm"),
+    )
+
+    def _closer(acc: Column, s: Column) -> Column:
+        d = (
+            F.floor(euclid_spark(F.col("emb"), s["se"]) * 1000000)
+            .cast("bigint")
+        )
+        return F.when(
+            acc["dm"].isNull() | (d < acc["dm"]),
+            F.struct(s["seed_id"].alias("sid"), d.alias("dm")),
+        ).otherwise(acc)
+
+    n = spark.sparkContext.defaultParallelism
+    assigned = (
+        _spread(corpus, "vec_id")
+        .crossJoin(F.broadcast(seeds_row))
+        .select(
+            "vec_id",
+            "emb",
+            F.aggregate(F.col("sds"), _no_cell, _closer)["sid"].alias("cell"),
+        )
+        # ONE exchange hash-partitioned on cell: both self-join sides
+        # are byte-identical up to it (ReusedExchange), so assignment
+        # computes once and the pair join reads it co-partitioned
+        .repartition(n, "cell")
+    )
+    # rename EVERY column on both sides — the ambiguous-self-join trap
+    # documented at dedup_embedding_cosine's candidate join
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
+        F.col("cell").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+        F.col("cell").alias("cb"),
+    )
+    cos = cosine_spark(F.col("ea"), F.col("eb"))
+    # explode_outer of the 0-or-1-element thresholded array, NOT a
+    # plain filter on a projected cos: Catalyst would merge that
+    # filter into the join condition and re-evaluate the cosine fold
+    # twice per candidate pair (condition + output) — the
+    # decontam_semantic_embedding Generate-barrier trap. Behind the
+    # Generate the fold runs exactly once per pair and the join stays
+    # a pure equi join on cell.
+    hit = F.filter(
+        F.array(F.struct(cos.alias("cos"))),
+        lambda c: c["cos"] >= _COSINE_NEARDUP,
+    )
+    dropped = (
+        a.join(b, (a.ca == b.cb) & (a.va < b.vb))
+        .select("vb", "cb", "va", F.explode_outer(hit).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select("vb", "cb", "va", F.col("h.cos").alias("cos"))
+    )
+    return (
+        dropped.groupBy("vb", "cb")
+        .agg(
+            F.min("va").alias("keeper"),
+            F.min_by("cos", "va").alias("kcos"),
+        )
+        .select(
+            F.col("vb").alias("vec_id"),
+            F.col("cb").cast("int").alias("cell"),
+            "keeper",
+            F.round("kcos", 6).alias("cosine"),
         )
     )
 

@@ -67,6 +67,140 @@ def test_metrics_listener_dedupes_retried_batches():
     assert seen == 17  # not 24
 
 
+class _no_broadcast:
+    """Disable AQE broadcast conversion to see the at-scale plan —
+    same helper as tests/test_plans.py."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.thr = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.thr)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.aqe)
+
+
+def test_semantic_cells_plan_shape(spark, sf_dir):
+    """SemDeDup's pair generation must be cell-bounded: at scale the
+    self-join is a pure equi SortMergeJoin on the cell key (zero
+    cross-cell pairs by construction), the assignment exchange is
+    computed ONCE (ReusedExchange on the other side), and the cosine
+    fold runs behind the Generate barrier — never inlined into the
+    join condition where it would evaluate twice per pair."""
+    from eye_of_sauron_spark.plans.dedup import dedup_semantic_cells
+
+    with _no_broadcast(spark):
+        df = dedup_semantic_cells(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 1
+    smj = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    # equi keys = the cell ids; only the va<vb dedup condition rides
+    assert "aggregate(" not in smj and "zip_with" not in smj, (
+        "cosine fold leaked into the join condition"
+    )
+    assert "ReusedExchange" in plan, "cell assignment computed twice"
+    assert plan.count("Generate explode") == 1
+    # corpus scanned for assignment + seeds: 3 parquet scans, not 6
+    assert plan.count("Scan parquet") == 3
+
+
+def test_semantic_cells_planted_copies_pruned(spark, sf_dir):
+    """The duplicated-ingest corpus plants a drifted copy of every
+    5th vector at cosine ~1; SemDeDup must drop the copies against
+    their originals. Pin vec 0's copy explicitly (keeper can only be
+    the original: no smaller id exists) and the keep-first invariant
+    keeper < vec_id everywhere."""
+    from eye_of_sauron_spark.plans.dedup import (
+        _EMB_COPY_OFFSET,
+        dedup_semantic_cells,
+    )
+
+    rows = {r["vec_id"]: r for r in dedup_semantic_cells(spark, sf_dir).collect()}
+    assert rows, "planted near-dups must be non-vacuous"
+    for r in rows.values():
+        assert r["keeper"] < r["vec_id"]
+        assert r["cosine"] >= 0.9
+    copy0 = rows.get(_EMB_COPY_OFFSET)
+    assert copy0 is not None and copy0["keeper"] == 0
+    # most planted copies survive the cell partition (a copy lost to
+    # a cell boundary is the documented SemDeDup recall trade; the
+    # drift is small enough that it should be rare)
+    n_copies = len([v for v in rows if v >= _EMB_COPY_OFFSET])
+    import pyarrow.parquet as pq
+
+    n_planted = len(
+        [
+            v
+            for v in pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            )["vec_id"].to_pylist()
+            if v % 5 == 0
+        ]
+    )
+    assert n_copies >= 0.8 * n_planted
+
+
+def test_quality_classifier_plan_is_narrow_broadcast(spark, sf_dir):
+    """The classifier must be broadcast-weights + narrow fold: ONE
+    parquet scan, ONE hashpartitioning exchange (the parallelism
+    spread), the weight vector as a 1-row broadcast (BNLJ with a pure
+    Cross condition — the scoring fold must NOT leak into the join),
+    and no per-token explode or weights-table join (which would
+    shuffle (token, doc) pairs at corpus scale)."""
+    from eye_of_sauron_spark.plans.curation import quality_classifier_score
+
+    df = quality_classifier_score(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    bnlj = next(
+        l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l
+    )
+    assert "aggregate(" not in bnlj, "scoring fold leaked into the join"
+    assert "Generate" not in plan  # no per-token explode
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_quality_classifier_closed_form(spark, tmp_path):
+    """End-to-end arithmetic contract, independent of DuckDB: a known
+    document must score exactly what the hash->bucket->weight->ppm
+    pipeline computes in plain Python (md5 via hashlib)."""
+    import hashlib
+    import math
+
+    from eye_of_sauron_spark.plans.curation import (
+        _QC_BUCKETS,
+        quality_classifier_score,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(1, text, len(text))], "doc_id BIGINT, text STRING, n_chars INT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    def w(i: int) -> int:
+        return ((i * 2654435761) % 1000003) % 41 - 20
+
+    toks = text.split(" ")
+    raw = sum(
+        w(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _QC_BUCKETS)
+        for t in toks
+    )
+    expect_ppm = math.floor(float(raw) * 1000000 / len(toks))
+    row = quality_classifier_score(spark, str(tmp_path)).collect()[0]
+    assert row["n_tok"] == len(toks)
+    assert row["score_ppm"] == expect_ppm
+    assert row["keep"] == (expect_ppm >= 0)
+
+
 def test_bm25_postings_memo_shares_and_evicts(spark, sf_dir):
     """_bm25_per_doc's localCheckpoint runs a job at construction and
     pins executor storage; the one-slot memo must (a) hand BOTH
