@@ -40,93 +40,84 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r10 rotation (50 entries = the driver's exact per-round
-    # budget, measured: every CORRECTNESS_r02..r09 file holds exactly
+    # --- r11 rotation (50 entries = the driver's exact per-round
+    # budget, measured: every CORRECTNESS_r02..r10 file holds exactly
     # 50 rows) ---
-    # 1) the four r09 additions with NO driver row yet (VERDICT r09
-    # item 1 / ADVICE): these lead unconditionally.
-    "routed_sink_pruned_read",
-    "sketch_countmin_freq",
-    "sample_weighted_reservoir",
-    "search_bm25_topk",
-    # 2) NEW this round — the A8 observability replay (VERDICT r09
-    # item 7): observe() aggregates delivered via
-    # StreamingQueryListener, checked against the closed-form octile
-    # oracle. Registered + pytest-pinned + benched BEFORE the round's
-    # final verification pass (item 3's process rule).
-    "stream_observe_metrics_replay",
-    # 3) 45 of the 46 queries whose latest driver row is r07 — after
-    # r10 only window_running_total (slot #51 below) predates r08.
-    "anti_join_silent_customers",
-    "compact_small_files",
-    "correlated_subquery_above_avg",
-    "csv_roundtrip_ingest",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "dedup_substring_spans",
-    "deterministic_sample_documents",
-    "doc_fingerprint",
-    "embedding_centroid_stats",
-    "embedding_int8_quantize",
-    "flagship_purchases_by_nation",
-    "funnel_view_click_purchase",
-    "grouped_map_session_stats",
-    "heavy_hitters_users",
-    "join_bucketed_colocated",
-    "join_revenue_by_priority",
-    "jsonl_roundtrip_ingest",
-    "kafka_decode_replay",
-    "kmeans_lloyd_step",
-    "mixture_cap_per_source",
-    "ml_match_first_target",
-    "multimodal_frame_sample",
-    "multimodal_image_stats",
-    "outer_join_order_count_histogram",
-    "pricing_summary",
-    "quality_filter_pipeline",
-    "schema_evolution_ingest",
-    "semi_join_active_customers",
-    "sql_revenue_top_nations",
-    "stream_reorder_overflow_replay",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "text_chunking",
-    "text_pii_scrub",
-    "window_first_match_semantics",
-    "window_lag_event_gaps",
-    "window_lead_transitions",
-    "window_moving_avg",
-    "window_ntile_spend_quartiles",
-    "window_rank_customers",
-    "window_time_range_rolling",
-    "zorder_cluster_events",
-    # --- stretch slot #51, past the measured 50-slot budget. The new
-    # observability query (#5 above) displaced exactly one r07 entry;
-    # window_running_total is the lowest-information deferral: its
-    # code (plans/window.py running-sum, unchanged since r01) shares
-    # every helper with the SEVEN sibling window queries re-greening
-    # in slots above, it is hash-green r07, and it re-greens locally
-    # in every pytest run (tests/test_queries_oracle.py). If the
-    # driver budget stretches it runs; else it leads the r11 rotation.
+    # 1) the three r10 registrations with NO driver row yet plus the
+    # one query whose latest row predates r08 (VERDICT r10 item 1):
+    # these lead unconditionally.
+    "search_hybrid_rrf",
+    "decontam_semantic_embedding",
+    "split_leakage_neardup",
     "window_running_total",
-    # search_hybrid_rrf, decontam_semantic_embedding and
-    # split_leakage_neardup (all registered r10, BEFORE this round's
-    # final pytest/bench/driver-sim passes, per the r09 process rule)
-    # have no slot here — the 50 above are all mandated by VERDICT
-    # r09 item 1. They LEAD the r11 rotation with
-    # window_running_total. Local evidence meanwhile: each
-    # oracle-green at sf0.001 + sf0.01 + sf0.1, plan shape +
-    # operator contracts pytest-pinned (tests/test_round10_ops.py),
-    # benched in BENCH_LOCAL_r10.json.
-    # sketch_quantiles_value changed this round (all-NULL-group
-    # short-circuit, r09 ADVICE) but keeps its fresh r09 slot: the
-    # change only affects groups with zero non-null values, which do
-    # not exist at any driver SF (r09 hash-green proves it — a NULL
-    # p*_ok would have mismatched); re-driven vs the oracle at sf0.01
-    # AND sf0.1 this session, adversarial fixture in
-    # tests/test_round10_ops.py.
+    # 2) NEW this round (VERDICT r10 items 4+6), registered +
+    # oracle-certified at three scales + pytest-pinned + benched
+    # BEFORE the round's final verification pass (the r09 process
+    # rule): SemDeDup cell prune and the linear quality classifier.
+    "dedup_semantic_cells",
+    "quality_classifier_score",
+    # 3) 44 of the 49 queries whose latest driver row is r08 —
+    # explicitly including the four r08 streaming replays (VERDICT
+    # r10 item 7). After r11, 5 deferrals below are the only rows
+    # older than r09; they lead the r12 rotation.
+    "approx_distinct_users",
+    "array_vector_scalars",
+    "asof_join_click_before_purchase",
+    "binary_base64_codec",
+    "conditional_agg_event_matrix",
+    "corr_hourly_click_purchase",
+    "cross_join_region_pairs",
+    "datetime_bucketing",
+    "dedup_cluster_multimodal",
+    "dedup_simhash",
+    "filter_projection_pushdown",
+    "grouping_sets_mixed",
+    "histogram_value_buckets",
+    "interval_join_activity_before_error",
+    "json_extract_props",
+    "json_serialize_roundtrip",
+    "median_percentiles_value",
+    "minmax_by_segment",
+    "ml_face_pipeline",
+    "multi_distinct_by_priority",
+    "multimodal_frame_features",
+    "multimodal_resize",
+    "pack_sequences",
+    "pivot_event_counts",
+    "reorder_replay",
+    "rollup_orders_by_month",
+    "setop_except_customers",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf",
+    "split_train_val_test",
+    "stats_acctbal_by_nation",
+    "stream_dedup_replay",
+    "stream_join_replay",
+    "stream_static_match_replay",
+    "string_filename_parse",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_term_stats",
+    "text_token_counts",
+    "tfidf_top_terms",
+    "theta_join_acctbal_dominance",
+    "topk_per_group_orders",
+    "unpivot_part_metrics",
+    # --- deferred to r12 (the 2 new queries above displaced exactly
+    # 2 slots; 5 r08 rows remain): each deferral is the
+    # lowest-information sibling of a family member that IS in the
+    # rotation — shared plan helpers, hash-green r08, re-greened
+    # locally in every pytest run (tests/test_queries_oracle.py):
+    #   setop_union_nations, setop_intersect_nations (siblings of
+    #     setop_except_customers, one relational.py set-op helper),
+    #   cube_quantity (sibling of rollup_orders_by_month +
+    #     grouping_sets_mixed, one grouped.py helper),
+    #   json_map_explode (sibling of json_extract_props +
+    #     json_serialize_roundtrip),
+    #   topk_orders_by_price (global TakeOrderedAndProject; sibling
+    #     of topk_per_group_orders' windowed form).
+    # They lead the r12 rotation.
 )
 
 
