@@ -1,0 +1,48 @@
+"""Tracked localCheckpoint — materialize a DataFrame AND keep the
+handle needed to free it later.
+
+``DataFrame.localCheckpoint(eager=True)`` runs a job immediately and
+pins the result as executor storage blocks, but the public API gives
+no way back to the checkpointed RDD, so the blocks live until the
+session dies. Iterative plans (the connected-components label loop,
+the BM25 postings memo) re-checkpoint every round/corpus; without
+eviction, a long session accumulates O(rounds) dead copies of working
+state. These helpers diff the JVM's persistent-RDD registry around the
+checkpoint call so superseded materializations can be unpersisted
+explicitly.
+
+Not thread-safe (two concurrent checkpoints would cross-attribute new
+RDD ids) — matches the engine's single-threaded driver/bench execution
+model; misattribution degrades to blocks freed later, never to wrong
+results, because unpersist only ever touches *persisted* RDDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """localCheckpoint(eager=True) + the new persistent-RDD ids, for a
+    later :func:`unpersist_ids` once the materialization is
+    superseded."""
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    ck = df.localCheckpoint(eager=True)
+    ids = sorted(_persistent_ids(spark) - before)
+    return ck, ids
+
+
+def unpersist_ids(spark: SparkSession, ids: list[int]) -> None:
+    """Free the blocks behind previously tracked checkpoint ids.
+    Ids already gone (session restart, double free) are skipped."""
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = live.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)

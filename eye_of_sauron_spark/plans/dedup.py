@@ -1028,15 +1028,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union branches (it executes twice); after it, the swap is a
     # projection over materialized partitions, and every propagation
     # round joins cheap materialized data
-    edges = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .localCheckpoint(eager=True)
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
+    edges, edge_ids = checkpoint_tracked(
+        dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+        )
     )
     sym = edges.unionAll(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     labels = connected_components(sym)
+    # connected_components materializes its own symmetrized copy, so
+    # the directed edge checkpoint has no remaining reader
+    unpersist_ids(spark, edge_ids)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),
@@ -1059,11 +1064,15 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
     measured 1.5-2x on the loop, and at scale it removes an
     O(edges) shuffle per round.
     """
-    n_part = sym.sparkSession.sparkContext.defaultParallelism
-    sym = sym.repartition(n_part, "s").localCheckpoint(eager=True)
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
+    spark = sym.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    sym, sym_ids = checkpoint_tracked(sym.repartition(n_part, "s"))
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
+    prev_ids: list[int] = []
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.s == labels.node)
@@ -1108,7 +1117,12 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
                 ).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        # cut lineage growth; the previous round's checkpoint is dead
+        # the moment this one materializes — free it, or a long
+        # session pins O(rounds) copies of the label table
+        new_labels, new_ids = checkpoint_tracked(new_labels)
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
         changed = new_labels.filter("changed").count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
@@ -1117,6 +1131,9 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
+    # the returned labels are themselves materialized, so the edge
+    # checkpoint has no remaining reader either
+    unpersist_ids(spark, sym_ids)
     return labels
 
 
@@ -1175,15 +1192,20 @@ def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("s"), F.col("vec_b").alias("d")
     )
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
     # materialize the merged DIRECTED edge list before symmetrizing:
     # a post-union checkpoint would re-execute BOTH banded dedup
     # pipelines once per union branch; here each runs exactly once and
     # the swap is a projection over materialized partitions
-    edges = text_edges.unionAll(emb_edges).localCheckpoint(eager=True)
+    edges, edge_ids = checkpoint_tracked(text_edges.unionAll(emb_edges))
     sym = edges.unionAll(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     labels = connected_components(sym)
+    # connected_components materializes its own symmetrized copy, so
+    # the directed edge checkpoint has no remaining reader
+    unpersist_ids(spark, edge_ids)
     return labels.select(
         F.col("node").alias("item_id"),
         F.col("comp").alias("component"),

@@ -615,10 +615,10 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select("lang", F.explode(bigrams).alias("p")).select(
         "lang", "p.w1", "p.w2"
     )
-    edges = (
-        pairs.groupBy("lang", "w1", "w2")
-        .agg(F.count("*").alias("wt"))
-        .localCheckpoint(eager=True)
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
+    edges, edge_ids = checkpoint_tracked(
+        pairs.groupBy("lang", "w1", "w2").agg(F.count("*").alias("wt"))
     )
     wsum = edges.groupBy("lang", "w1").agg(F.sum("wt").alias("wsum"))
     # edges carrying the source's transition probability in ppm: the
@@ -627,22 +627,22 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT (m * p_ppm <= 10^12 * 10^6 < 2^63) at ANY corpus scale —
     # the raw (m * wt) form overflows once a stop-bigram's count
     # exceeds ~9.2e6 against a hub node's mass
-    ew = (
-        edges.join(wsum, ["lang", "w1"])
-        .select(
+    ew, ew_ids = checkpoint_tracked(
+        edges.join(wsum, ["lang", "w1"]).select(
             "lang",
             "w1",
             "w2",
             F.expr(f"(wt * {_TR_PPM}) div wsum").alias("p_ppm"),
         )
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes, node_ids = checkpoint_tracked(
         edges.select("lang", F.col("w1").alias("token"))
         .union(edges.select("lang", F.col("w2").alias("token")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # ew/nodes are materialized — the raw edge checkpoint has no
+    # remaining reader
+    unpersist_ids(spark, edge_ids)
     base = nodes.groupBy("lang").agg(
         F.expr(f"{_TR_TOTAL} div count(*)").alias("m0"),
         F.expr(f"(15 * ({_TR_TOTAL} div count(*))) div 100").alias("b"),
@@ -650,6 +650,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.join(F.broadcast(base), "lang").select(
         "lang", "token", F.col("m0").alias("m")
     )
+    prev_ids: list[int] = []
     for _ in range(_TR_ITERS):
         # explicit renames: nodes/ew share lineage (exprIds survive
         # localCheckpoint), so qualified access would be ambiguous
@@ -683,8 +684,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * COALESCE(contrib, 0L)) div 100")
                 ).alias("m"),
             )
-            .localCheckpoint(eager=True)
         )
+        # lineage cut per round; the superseded round's checkpoint is
+        # freed immediately (same discipline as the CC loop)
+        ranks, new_ids = checkpoint_tracked(ranks)
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
+    # the returned ranking reads only the final ranks checkpoint; the
+    # graph materializations (ew, nodes) have no remaining reader
+    unpersist_ids(spark, ew_ids + node_ids)
     ranked = ranks.withColumn(
         "rank",
         F.row_number().over(
@@ -1074,23 +1082,15 @@ _BM25_POSTINGS_MEMO: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
 def _bm25_postings_shared(
     spark: SparkSession, postings: DataFrame, memo_key: tuple[str, str]
 ) -> DataFrame:
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
     hit = _BM25_POSTINGS_MEMO.get(memo_key)
     if hit is not None:
         return hit[0]
-    jsc = spark.sparkContext._jsc
-    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    ck = postings.localCheckpoint(eager=True)
-    after = jsc.getPersistentRDDs()
-    new_ids = [
-        int(i) for i in after.keySet().toArray() if int(i) not in before
-    ]
+    ck, new_ids = checkpoint_tracked(postings)
     # evict the previous corpus's postings and free its blocks
     for old_key, (_, old_ids) in list(_BM25_POSTINGS_MEMO.items()):
-        live = jsc.getPersistentRDDs()
-        for rid in old_ids:
-            rdd = live.get(rid)
-            if rdd is not None:
-                rdd.unpersist(False)
+        unpersist_ids(spark, old_ids)
         del _BM25_POSTINGS_MEMO[old_key]
     _BM25_POSTINGS_MEMO[memo_key] = (ck, new_ids)
     return ck

@@ -1050,20 +1050,25 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-normalization. Nothing is ever driver-collected; v rides a
     1-row broadcast DataFrame, localCheckpointed per round like the
     CC and TextRank loops."""
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
     e = _t(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        ).alias("em"),
-    ).localCheckpoint(eager=True)
+    base, base_ids = checkpoint_tracked(
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("em"),
+        )
+    )
     # v as a 1-row array DF (micro units); start = uniform 0.125
     v_df = spark.range(1).select(
         F.array(*[F.lit(125000).cast("bigint") for _ in range(_DIM)]).alias("varr")
     )
+    prev_ids: list[int] = []
     for _ in range(_PCA_ITERS):
         scored = base.crossJoin(F.broadcast(v_df)).select(
             "em",
@@ -1102,7 +1107,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     z.cast("double") * 1000000 / nrm + F.lit(0.5)
                 ).cast("bigint"),
             ).alias("varr")
-        ).localCheckpoint(eager=True)
+        )
+        # lineage cut per round; free the superseded round's 1-row
+        # checkpoint (same discipline as the CC/TextRank loops)
+        v_df, new_ids = checkpoint_tracked(v_df)
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
+    # the returned relation reads only the final v checkpoint; the
+    # quantized corpus has no remaining reader
+    unpersist_ids(spark, base_ids)
     return v_df.select(
         F.posexplode("varr").alias("pos0", "loading_micro")
     ).select((F.col("pos0") + 1).cast("int").alias("pos"), "loading_micro")

@@ -201,6 +201,34 @@ def test_quality_classifier_closed_form(spark, tmp_path):
     assert row["keep"] == (expect_ppm >= 0)
 
 
+def test_iterative_loops_free_superseded_checkpoints(spark, sf_dir):
+    """The iterative plans (CC label propagation, TextRank, PCA power
+    iteration) localCheckpoint per round to cut lineage; superseded
+    rounds' blocks must be unpersisted as the loop advances, or a long
+    session pins O(rounds) dead copies of working state (the r10
+    BM25-ADVICE leak class, generalized). Contract: one query leaves
+    at most ONE new persistent RDD (its final materialization)."""
+    from eye_of_sauron_spark import plans
+
+    def n_persist() -> int:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return len(list(jmap.keySet().toArray()))
+
+    qs = plans.all_queries()
+    for name in (
+        "dedup_cluster_components",
+        "textrank_keywords",
+        "pca_power_iteration",
+    ):
+        before = n_persist()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        grew = n_persist() - before
+        assert grew <= 1, (
+            f"{name} pinned {grew} new RDDs — superseded round "
+            "checkpoints are leaking again"
+        )
+
+
 def test_bm25_postings_memo_shares_and_evicts(spark, sf_dir):
     """_bm25_per_doc's localCheckpoint runs a job at construction and
     pins executor storage; the one-slot memo must (a) hand BOTH
