@@ -1073,6 +1073,32 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
         "comp", F.col("node")
     )
     prev_ids: list[int] = []
+    try:
+        labels = _cc_loop(spark, sym, labels, max_rounds, prev_ids)
+    except BaseException:
+        # a mid-loop failure (including the non-convergence raise)
+        # must not strand the working-state blocks the happy path
+        # frees — that would re-open the O(rounds) leak on retry
+        unpersist_ids(spark, prev_ids + sym_ids)
+        raise
+    # the returned labels are themselves materialized, so the edge
+    # checkpoint has no remaining reader either
+    unpersist_ids(spark, sym_ids)
+    return labels
+
+
+def _cc_loop(
+    spark: SparkSession,
+    sym: DataFrame,
+    labels: DataFrame,
+    max_rounds: int,
+    prev_ids: list[int],
+) -> DataFrame:
+    """The propagation rounds of :func:`connected_components`.
+    ``prev_ids`` is mutated in place so the caller's failure handler
+    can free the last round's checkpoint."""
+    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.s == labels.node)
@@ -1122,7 +1148,7 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
         # session pins O(rounds) copies of the label table
         new_labels, new_ids = checkpoint_tracked(new_labels)
         unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
+        prev_ids[:] = new_ids
         changed = new_labels.filter("changed").count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
@@ -1131,9 +1157,6 @@ def connected_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    # the returned labels are themselves materialized, so the edge
-    # checkpoint has no remaining reader either
-    unpersist_ids(spark, sym_ids)
     return labels
 
 

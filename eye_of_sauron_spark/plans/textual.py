@@ -651,45 +651,51 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "token", F.col("m0").alias("m")
     )
     prev_ids: list[int] = []
-    for _ in range(_TR_ITERS):
-        # explicit renames: nodes/ew share lineage (exprIds survive
-        # localCheckpoint), so qualified access would be ambiguous
-        r = ranks.select(
-            F.col("lang").alias("r_lang"),
-            F.col("token").alias("r_token"),
-            "m",
-        )
-        contrib = (
-            r.join(
-                ew,
-                (F.col("r_lang") == F.col("lang"))
-                & (F.col("r_token") == F.col("w1")),
+    try:
+        for _ in range(_TR_ITERS):
+            # explicit renames: nodes/ew share lineage (exprIds
+            # survive localCheckpoint), so qualified access would be
+            # ambiguous
+            r = ranks.select(
+                F.col("lang").alias("r_lang"),
+                F.col("token").alias("r_token"),
+                "m",
             )
-            .select(
-                "lang",
-                F.col("w2").alias("token"),
-                F.expr(f"(m * p_ppm) div {_TR_PPM}").alias("c"),
+            contrib = (
+                r.join(
+                    ew,
+                    (F.col("r_lang") == F.col("lang"))
+                    & (F.col("r_token") == F.col("w1")),
+                )
+                .select(
+                    "lang",
+                    F.col("w2").alias("token"),
+                    F.expr(f"(m * p_ppm) div {_TR_PPM}").alias("c"),
+                )
+                .groupBy("lang", "token")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("lang", "token")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, ["lang", "token"], "left")
-            .join(F.broadcast(base), "lang")
-            .select(
-                "lang",
-                "token",
-                (
-                    F.col("b")
-                    + F.expr("(85 * COALESCE(contrib, 0L)) div 100")
-                ).alias("m"),
+            ranks = (
+                nodes.join(contrib, ["lang", "token"], "left")
+                .join(F.broadcast(base), "lang")
+                .select(
+                    "lang",
+                    "token",
+                    (
+                        F.col("b")
+                        + F.expr("(85 * COALESCE(contrib, 0L)) div 100")
+                    ).alias("m"),
+                )
             )
-        )
-        # lineage cut per round; the superseded round's checkpoint is
-        # freed immediately (same discipline as the CC loop)
-        ranks, new_ids = checkpoint_tracked(ranks)
-        unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
+            # lineage cut per round; the superseded round's checkpoint
+            # is freed immediately (same discipline as the CC loop)
+            ranks, new_ids = checkpoint_tracked(ranks)
+            unpersist_ids(spark, prev_ids)
+            prev_ids = new_ids
+    except BaseException:
+        # mid-loop failure must not strand the tracked blocks
+        unpersist_ids(spark, prev_ids + ew_ids + node_ids)
+        raise
     # the returned ranking reads only the final ranks checkpoint; the
     # graph materializations (ew, nodes) have no remaining reader
     unpersist_ids(spark, ew_ids + node_ids)
@@ -1074,8 +1080,14 @@ _BM25_ORACLE = f"""
 # independently) materializes the postings twice and leaks the first
 # copy for the session lifetime (r10 ADVICE). The slot holds the
 # latest corpus only; switching sf_dir (or session) evicts and
-# unpersists the previous blocks. Not thread-safe — matches the
-# single-threaded driver/bench execution model.
+# unpersists the previous blocks. Contract boundaries (both match the
+# driver execution model — build a query, consume it, move on): (a)
+# eviction INVALIDATES any still-unconsumed DataFrame built for the
+# previous corpus (localCheckpoint cut its lineage, so the freed
+# blocks cannot be recomputed) — consume each corpus's retrieval
+# results before switching sf_dir; (b) the key is the path string, so
+# rewriting the parquet at the SAME path mid-session returns the old
+# corpus's postings. Not thread-safe.
 _BM25_POSTINGS_MEMO: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
 
 

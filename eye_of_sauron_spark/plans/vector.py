@@ -1069,50 +1069,55 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(125000).cast("bigint") for _ in range(_DIM)]).alias("varr")
     )
     prev_ids: list[int] = []
-    for _ in range(_PCA_ITERS):
-        scored = base.crossJoin(F.broadcast(v_df)).select(
-            "em",
-            F.aggregate(
-                F.zip_with("em", "varr", lambda x, v: x * v),
-                F.lit(0).cast("bigint"),
-                lambda acc, t: acc + t,
-            ).alias("s_raw"),
-        ).select("em", F.expr("s_raw div 1000000").alias("sq"))
-        u = (
-            scored.select(F.posexplode("em").alias("pos", "xm"), "sq")
-            .groupBy("pos")
-            .agg(
-                F.sum(F.expr(f"(xm * sq) div {_PCA_DOWNSCALE}"))
-                .cast("bigint")
-                .alias("u")
+    try:
+        for _ in range(_PCA_ITERS):
+            scored = base.crossJoin(F.broadcast(v_df)).select(
+                "em",
+                F.aggregate(
+                    F.zip_with("em", "varr", lambda x, v: x * v),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + t,
+                ).alias("s_raw"),
+            ).select("em", F.expr("s_raw div 1000000").alias("sq"))
+            u = (
+                scored.select(F.posexplode("em").alias("pos", "xm"), "sq")
+                .groupBy("pos")
+                .agg(
+                    F.sum(F.expr(f"(xm * sq) div {_PCA_DOWNSCALE}"))
+                    .cast("bigint")
+                    .alias("u")
+                )
             )
-        )
-        uarr = u.groupBy().agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "u"))),
-                lambda s: s["u"],
-            ).alias("uarr")
-        )
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform("uarr", lambda z: z.cast("double") * z.cast("double")),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
+            uarr = u.groupBy().agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "u"))),
+                    lambda s: s["u"],
+                ).alias("uarr")
             )
-        )
-        v_df = uarr.select(
-            F.transform(
-                "uarr",
-                lambda z: F.floor(
-                    z.cast("double") * 1000000 / nrm + F.lit(0.5)
-                ).cast("bigint"),
-            ).alias("varr")
-        )
-        # lineage cut per round; free the superseded round's 1-row
-        # checkpoint (same discipline as the CC/TextRank loops)
-        v_df, new_ids = checkpoint_tracked(v_df)
-        unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.transform("uarr", lambda z: z.cast("double") * z.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            )
+            v_df = uarr.select(
+                F.transform(
+                    "uarr",
+                    lambda z: F.floor(
+                        z.cast("double") * 1000000 / nrm + F.lit(0.5)
+                    ).cast("bigint"),
+                ).alias("varr")
+            )
+            # lineage cut per round; free the superseded round's 1-row
+            # checkpoint (same discipline as the CC/TextRank loops)
+            v_df, new_ids = checkpoint_tracked(v_df)
+            unpersist_ids(spark, prev_ids)
+            prev_ids = new_ids
+    except BaseException:
+        # mid-loop failure must not strand the tracked blocks
+        unpersist_ids(spark, prev_ids + base_ids)
+        raise
     # the returned relation reads only the final v checkpoint; the
     # quantized corpus has no remaining reader
     unpersist_ids(spark, base_ids)

@@ -116,9 +116,13 @@ def get_spark(
             "true",
         )
     else:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        spark.conf.unset(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-        )
+        for key in (
+            "spark.sql.streaming.stateStore.providerClass",
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        ):
+            # a caller wiring a custom provider through extra_conf
+            # owns these keys — only reset what get_spark itself set
+            if not (extra_conf and key in extra_conf):
+                spark.conf.unset(key)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -229,6 +229,31 @@ def test_iterative_loops_free_superseded_checkpoints(spark, sf_dir):
         )
 
 
+def test_cc_failure_path_frees_tracked_blocks(spark):
+    """The non-convergence raise (and any mid-loop failure) must free
+    the working-state checkpoints too — otherwise every failed/retried
+    clustering re-opens the O(rounds) leak the happy path closes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import connected_components
+
+    def n_persist() -> int:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return len(list(jmap.keySet().toArray()))
+
+    edges = spark.range(63).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    before = n_persist()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(sym, max_rounds=2)
+    assert n_persist() == before, "failure path leaked checkpoint blocks"
+
+
 def test_bm25_postings_memo_shares_and_evicts(spark, sf_dir):
     """_bm25_per_doc's localCheckpoint runs a job at construction and
     pins executor storage; the one-slot memo must (a) hand BOTH

@@ -52,13 +52,18 @@ def main() -> int:
             # state (e.g. a streaming query that failed mid-start) and
             # cascade into later rows — clear what we can so the
             # report stays one-failure-one-row, and flag the first
-            # failure as the likely root cause of any cascade.
-            for q in spark.streams.active:
-                try:
-                    q.stop()
-                except Exception:  # noqa: BLE001 — best-effort cleanup
-                    pass
-            spark.catalog.clearCache()
+            # failure as the likely root cause of any cascade. The
+            # cleanup itself is best-effort: a session broken enough
+            # to fail it must not abort the remaining report rows.
+            try:
+                for q in spark.streams.active:
+                    try:
+                        q.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
     print(f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}")
     if len(fails) > 1:
         print(
