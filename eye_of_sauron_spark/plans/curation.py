@@ -496,7 +496,7 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identical "model parameters" without a side-channel artifact —
 # swapping in trained fasttext weights is a one-array change.
 _QC_BUCKETS = 1024
-_QC_WEIGHT_DUCK = f"((i * 2654435761) % 1000003) % 41 - 20"
+_QC_WEIGHT_DUCK = "((i * 2654435761) % 1000003) % 41 - 20"
 _QC_THRESHOLD_PPM = 0  # keep documents scoring >= 0 ppm
 
 _QC_ORACLE = f"""

@@ -229,6 +229,27 @@ def test_iterative_loops_free_superseded_checkpoints(spark, sf_dir):
         )
 
 
+def test_checkpoint_tracked_roundtrip(spark):
+    """materialize.py contract: checkpoint_tracked returns the ids of
+    exactly the blocks the checkpoint pinned; unpersist_ids frees them
+    and is safe to call twice (double free / session-restart ids are
+    skipped, never an error)."""
+    from eye_of_sauron_spark.functions.materialize import (
+        _persistent_ids,
+        checkpoint_tracked,
+        unpersist_ids,
+    )
+
+    before = _persistent_ids(spark)
+    ck, ids = checkpoint_tracked(spark.range(100))
+    assert ids and set(ids) <= _persistent_ids(spark) - before
+    assert ck.count() == 100  # readable after tracking
+    unpersist_ids(spark, ids)
+    assert not (set(ids) & _persistent_ids(spark))
+    unpersist_ids(spark, ids)  # idempotent
+    unpersist_ids(spark, [10**9])  # unknown id: skipped
+
+
 def test_cc_failure_path_frees_tracked_blocks(spark):
     """The non-convergence raise (and any mid-loop failure) must free
     the working-state checkpoints too — otherwise every failed/retried
