@@ -1038,10 +1038,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionAll(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    labels = connected_components(sym)
-    # connected_components materializes its own symmetrized copy, so
-    # the directed edge checkpoint has no remaining reader
-    unpersist_ids(spark, edge_ids)
+    try:
+        labels = connected_components(sym)
+    finally:
+        # connected_components materialized its own symmetrized copy
+        # (or raised before pinning anything durable), so the directed
+        # edge checkpoint has no remaining reader either way — without
+        # the finally, a non-convergence RuntimeError strands these
+        # blocks for the session lifetime
+        unpersist_ids(spark, edge_ids)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),
@@ -1225,10 +1230,13 @@ def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionAll(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    labels = connected_components(sym)
-    # connected_components materializes its own symmetrized copy, so
-    # the directed edge checkpoint has no remaining reader
-    unpersist_ids(spark, edge_ids)
+    try:
+        labels = connected_components(sym)
+    finally:
+        # connected_components materialized its own symmetrized copy
+        # (or raised) — the directed edge checkpoint has no remaining
+        # reader on either path
+        unpersist_ids(spark, edge_ids)
     return labels.select(
         F.col("node").alias("item_id"),
         F.col("comp").alias("component"),

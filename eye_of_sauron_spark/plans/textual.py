@@ -627,19 +627,26 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT (m * p_ppm <= 10^12 * 10^6 < 2^63) at ANY corpus scale —
     # the raw (m * wt) form overflows once a stop-bigram's count
     # exceeds ~9.2e6 against a hub node's mass
-    ew, ew_ids = checkpoint_tracked(
-        edges.join(wsum, ["lang", "w1"]).select(
-            "lang",
-            "w1",
-            "w2",
-            F.expr(f"(wt * {_TR_PPM}) div wsum").alias("p_ppm"),
+    ew_ids: list[int] = []
+    try:
+        ew, ew_ids = checkpoint_tracked(
+            edges.join(wsum, ["lang", "w1"]).select(
+                "lang",
+                "w1",
+                "w2",
+                F.expr(f"(wt * {_TR_PPM}) div wsum").alias("p_ppm"),
+            )
         )
-    )
-    nodes, node_ids = checkpoint_tracked(
-        edges.select("lang", F.col("w1").alias("token"))
-        .union(edges.select("lang", F.col("w2").alias("token")))
-        .distinct()
-    )
+        nodes, node_ids = checkpoint_tracked(
+            edges.select("lang", F.col("w1").alias("token"))
+            .union(edges.select("lang", F.col("w2").alias("token")))
+            .distinct()
+        )
+    except BaseException:
+        # a failed ew/nodes materialization must not strand the raw
+        # edge checkpoint (or ew, if it was the nodes step that blew)
+        unpersist_ids(spark, edge_ids + ew_ids)
+        raise
     # ew/nodes are materialized — the raw edge checkpoint has no
     # remaining reader
     unpersist_ids(spark, edge_ids)
@@ -1100,9 +1107,17 @@ def _bm25_postings_shared(
     if hit is not None:
         return hit[0]
     ck, new_ids = checkpoint_tracked(postings)
-    # evict the previous corpus's postings and free its blocks
+    # evict the previous corpus's postings; free its blocks ONLY if
+    # the entry belongs to THIS SparkContext. RDD ids restart at 0 per
+    # context, so a stale entry's ids from a previous session can
+    # collide with live persistent RDDs here (including the checkpoint
+    # just created) — unpersisting them would free lineage-cut blocks
+    # that cannot be recomputed. Stale-session entries died with their
+    # context; dropping the memo slot is the whole cleanup.
+    app_id = spark.sparkContext.applicationId
     for old_key, (_, old_ids) in list(_BM25_POSTINGS_MEMO.items()):
-        unpersist_ids(spark, old_ids)
+        if old_key[0] == app_id:
+            unpersist_ids(spark, old_ids)
         del _BM25_POSTINGS_MEMO[old_key]
     _BM25_POSTINGS_MEMO[memo_key] = (ck, new_ids)
     return ck

@@ -47,7 +47,12 @@ def get_spark(
     standard choice for large-state production streams. Results are
     provider-independent (pinned by tests/test_round9_ops.py); it is
     a runtime SQL conf, so it can also be flipped per-query before
-    ``start()`` on an existing session."""
+    ``start()`` on an existing session.
+
+    StateStore conf ownership is per-call: every ``get_spark`` call
+    (re)applies ``state_store`` + ``extra_conf`` to the live session,
+    so a plain call resets any custom provider an earlier call wired
+    through ``extra_conf`` — re-pass it on each call to keep it."""
     cpus = _DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
@@ -120,8 +125,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         ):
-            # a caller wiring a custom provider through extra_conf
-            # owns these keys — only reset what get_spark itself set
+            # provider ownership is PER-CALL: each get_spark call fully
+            # determines the stateStore confs for the session it
+            # returns. THIS call's extra_conf may pin the keys; a later
+            # plain get_spark() on the live session deliberately resets
+            # them to the default heap provider — callers who want a
+            # custom provider to persist across get_spark calls must
+            # pass it in extra_conf on every call (or set it directly
+            # on spark.conf after the last get_spark).
             if not (extra_conf and key in extra_conf):
                 spark.conf.unset(key)
     spark.sparkContext.setLogLevel("WARN")

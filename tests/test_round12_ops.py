@@ -1,0 +1,155 @@
+"""Round-12 additions: ADVICE fixes.
+
+Covers
+- plans/textual.py: BM25 memo eviction must NOT unpersist a stale
+  entry from a previous SparkContext — RDD ids restart at 0 per
+  context, so stale ids can collide with live blocks (r11 ADVICE).
+- plans/dedup.py / plans/textual.py: the checkpoint call SITES free
+  their tracked blocks when a downstream step raises (the loop-body
+  failure discipline, extended to the call sites; r11 ADVICE).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _n_persist(spark) -> int:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return len(list(jmap.keySet().toArray()))
+
+
+def test_bm25_memo_stale_session_entry_not_unpersisted(spark):
+    """A memo entry keyed by a DEAD applicationId carries RDD ids from
+    the previous SparkContext; ids restart at 0 per context, so those
+    ids can name LIVE blocks here — including the checkpoint the
+    eviction pass just created. Eviction must drop the stale slot
+    without unpersisting (r11 ADVICE, textual.py)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.functions.materialize import (
+        _persistent_ids,
+        checkpoint_tracked,
+        unpersist_ids,
+    )
+    from eye_of_sauron_spark.plans import textual
+
+    # victim: a live checkpoint whose ids we plant in a stale slot
+    victim, victim_ids = checkpoint_tracked(spark.range(50))
+    try:
+        textual._BM25_POSTINGS_MEMO.clear()
+        textual._BM25_POSTINGS_MEMO[("dead-app-id", "old_dir")] = (
+            victim,
+            victim_ids,
+        )
+        postings = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("term"),
+            F.lit(1).alias("tf"),
+        )
+        key = (spark.sparkContext.applicationId, "new_dir")
+        ck = textual._bm25_postings_shared(spark, postings, key)
+        # stale slot evicted, new entry installed
+        assert list(textual._BM25_POSTINGS_MEMO) == [key]
+        # the victim's blocks must STILL be persisted — the stale
+        # entry's ids belong to another context and must not be freed
+        assert set(victim_ids) <= _persistent_ids(spark), (
+            "stale-session memo eviction freed live blocks"
+        )
+        assert ck.count() == 10  # new checkpoint is readable
+    finally:
+        unpersist_ids(spark, victim_ids)
+        for _, ids in textual._BM25_POSTINGS_MEMO.values():
+            unpersist_ids(spark, ids)
+        textual._BM25_POSTINGS_MEMO.clear()
+
+
+def test_same_session_memo_eviction_still_frees(spark):
+    """The applicationId guard must not break the r10 fix: a previous
+    entry from THIS context is still unpersisted on eviction."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.functions.materialize import (
+        _persistent_ids,
+        unpersist_ids,
+    )
+    from eye_of_sauron_spark.plans import textual
+
+    textual._BM25_POSTINGS_MEMO.clear()
+    app = spark.sparkContext.applicationId
+    p1 = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("term"), F.lit(1).alias("tf")
+    )
+    p2 = spark.range(7).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("term"), F.lit(1).alias("tf")
+    )
+    try:
+        textual._bm25_postings_shared(spark, p1, (app, "dir1"))
+        (_, ids1) = textual._BM25_POSTINGS_MEMO[(app, "dir1")]
+        textual._bm25_postings_shared(spark, p2, (app, "dir2"))
+        assert not (set(ids1) & _persistent_ids(spark)), (
+            "same-session eviction no longer frees the old corpus"
+        )
+        assert list(textual._BM25_POSTINGS_MEMO) == [(app, "dir2")]
+    finally:
+        for _, ids in textual._BM25_POSTINGS_MEMO.values():
+            unpersist_ids(spark, ids)
+        textual._BM25_POSTINGS_MEMO.clear()
+
+
+def test_cluster_components_call_site_failure_frees_edges(
+    spark, sf_dir, monkeypatch
+):
+    """If connected_components raises (non-convergence), the directed
+    edge checkpoint made at the CALL SITE must be freed too — the loop
+    body's failure discipline alone leaves it stranded for the session
+    lifetime (r11 ADVICE, dedup.py)."""
+    from eye_of_sauron_spark.plans import dedup
+
+    def boom(sym, max_rounds=50):
+        raise RuntimeError("planted non-convergence")
+
+    monkeypatch.setattr(dedup, "connected_components", boom)
+    before = _n_persist(spark)
+    with pytest.raises(RuntimeError, match="planted non-convergence"):
+        dedup.dedup_cluster_components(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    assert _n_persist(spark) == before, (
+        "call-site edge checkpoint leaked on CC failure"
+    )
+    with pytest.raises(RuntimeError, match="planted non-convergence"):
+        dedup.dedup_cluster_multimodal(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    assert _n_persist(spark) == before, (
+        "multimodal call-site edge checkpoint leaked on CC failure"
+    )
+
+
+@pytest.mark.parametrize("fail_at", [2, 3])
+def test_textrank_graph_checkpoint_failure_frees_prior(
+    spark, sf_dir, monkeypatch, fail_at
+):
+    """If the ew (2nd) or nodes (3rd) checkpoint fails, the already-
+    materialized graph checkpoints before it must be freed before the
+    raise propagates (r11 ADVICE, textual.py)."""
+    import eye_of_sauron_spark.functions.materialize as mat
+    from eye_of_sauron_spark.plans import textual
+
+    real = mat.checkpoint_tracked
+    calls = {"n": 0}
+
+    def flaky(df):
+        calls["n"] += 1
+        if calls["n"] == fail_at:
+            raise RuntimeError("planted checkpoint failure")
+        return real(df)
+
+    monkeypatch.setattr(mat, "checkpoint_tracked", flaky)
+    before = _n_persist(spark)
+    with pytest.raises(RuntimeError, match="planted checkpoint failure"):
+        textual.textrank_keywords(spark, sf_dir)
+    assert _n_persist(spark) == before, (
+        f"graph checkpoint leaked when checkpoint #{fail_at} failed"
+    )
