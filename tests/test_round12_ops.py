@@ -127,6 +127,32 @@ def test_cluster_components_call_site_failure_frees_edges(
     )
 
 
+def test_minhash_recall_contract(spark, sf_dir):
+    """dedup_minhash_recall: one row per exact ground-truth pair
+    (== dedup_ngram_jaccard's result set), with in_candidates true iff
+    the banded LSH pass produced the pair. With 16 hashes / 8 bands
+    a true j>=0.8 pair misses all bands w.p. ~(1-.64)^8 = 2.8e-4, so
+    fixture recall must be exactly 1.0 — any miss here means the
+    banding parameters drifted."""
+    from eye_of_sauron_spark.plans import dedup
+
+    rows = dedup.dedup_minhash_recall(spark, sf_dir).collect()
+    exact_n = dedup.dedup_ngram_jaccard(spark, sf_dir).count()
+    assert len(rows) == exact_n > 0
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+    assert all(r["in_candidates"] for r in rows), (
+        f"banded LSH missed {[r for r in rows if not r['in_candidates']]}"
+    )
+    # and the flagged set IS the LSH result set (pairwise alignment,
+    # not just counts)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    flagged = {(r["doc_a"], r["doc_b"]) for r in rows if r["in_candidates"]}
+    assert flagged <= lsh
+
+
 @pytest.mark.parametrize("fail_at", [2, 3])
 def test_textrank_graph_checkpoint_failure_frees_prior(
     spark, sf_dir, monkeypatch, fail_at
