@@ -235,6 +235,135 @@ def stream_reorder_overflow_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --------------------------------------- A1 smart-mode change detector
+
+# 16 cameras, 200 in-order frames each, 8 micro-batches of 25 frames.
+# Duplicate RUNS are planted hash-deterministically: frame f starts a
+# new run iff md5('chg:cam:f') % 3 == 0 (or f == 0), giving variable-
+# length runs (mean ~3) whose boundaries BOTH engines recompute from
+# first principles; every frame's payload hash is md5 of its run id,
+# so consecutive frames within a run are exact duplicates. Runs
+# straddle micro-batch boundaries (boundaries are hash-random, batches
+# are 25-frame slices), so a detector that loses its per-camera state
+# between batches re-emits mid-run frames and fails the hash compare.
+_CD_CAMERAS = 16
+_CD_FRAMES = 200
+_CD_SPAN = 25
+
+_CHANGE_DETECT_ORACLE = f"""
+    WITH frames AS (
+        SELECT CAST(event_id % {_CD_CAMERAS} AS INT) AS camera,
+               CAST(row_number() OVER (
+                   PARTITION BY event_id % {_CD_CAMERAS} ORDER BY event_id
+               ) - 1 AS INT) AS frame_num
+        FROM events
+    ),
+    flags AS (
+        SELECT camera, frame_num,
+               CASE WHEN frame_num = 0 OR ({hex32_duck(
+                   "'chg:' || CAST(camera AS VARCHAR) || ':' "
+                   "|| CAST(frame_num AS VARCHAR)"
+               )}) % 3 = 0 THEN 1 ELSE 0 END AS chg
+        FROM frames WHERE frame_num < {_CD_FRAMES}
+    ),
+    runs AS (
+        SELECT camera, frame_num, chg,
+               sum(chg) OVER (
+                   PARTITION BY camera ORDER BY frame_num
+               ) AS run_id
+        FROM flags
+    )
+    SELECT camera, frame_num,
+           md5('run:' || CAST(camera AS VARCHAR) || ':'
+               || CAST(run_id AS VARCHAR)) AS payload_hash
+    FROM runs WHERE chg = 1
+"""
+
+
+@query("stream_change_detect_replay", oracle=_CHANGE_DETECT_ORACLE)
+def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 'smart' frame-skip end-to-end: planted duplicate-frame runs
+    stream through the REAL keyed stateful change detector (reference
+    frame_producer.py:100-119 — drop frames identical to the previous
+    one, per camera) across 8 ordered micro-batches; survivors =
+    exactly the first frame of each run.
+
+    What the oracle pins beyond the unit tests: state durability
+    across micro-batch boundaries at replay scale — a run that starts
+    in batch k and continues into batch k+1 must stay suppressed, so
+    a detector whose last-emitted-hash state is lost between batches
+    (or whose checkpoint recovery resurrects it stale) changes the
+    emitted set and fails the hash compare. ``drop_unchanged_frames``
+    auto-dispatches transformWithStateInPandas (protobuf available;
+    needs the RocksDB store, scoped-set here) vs
+    applyInPandasWithState, so the replay drives whichever stateful
+    API the environment supports — the same dual-path contract the
+    unit test pins (tests/test_streaming.py).
+
+    Scale shape: one shuffle on camera; state is O(1) per key (one
+    hash string), read/updated once per batch per key — the filter
+    runs where the data is, unlike the reference's source-side skip
+    which serializes it per producer process."""
+    from .change_detect import _has_protobuf, drop_unchanged_frames
+
+    ev = load_table(spark, sf_dir, "events")
+    cam = (F.col("event_id") % _CD_CAMERAS).cast("int")
+    frames = ev.select(
+        cam.alias("camera"),
+        (
+            F.row_number().over(W.partitionBy(cam).orderBy(F.col("event_id")))
+            - 1
+        )
+        .cast("int")
+        .alias("frame_num"),
+    ).filter(F.col("frame_num") < _CD_FRAMES)
+    chg = (F.col("frame_num") == 0) | (
+        hex32_spark(F.concat_ws(":", F.lit("chg"), "camera", "frame_num")) % 3
+        == 0
+    )
+    runs = frames.withColumn("chg", chg.cast("int")).withColumn(
+        "run_id", F.sum("chg").over(W.partitionBy("camera").orderBy("frame_num"))
+    )
+    staged = runs.select(
+        "camera",
+        "frame_num",
+        F.md5(F.concat_ws(":", F.lit("run"), "camera", "run_id")).alias(
+            "payload_hash"
+        ),
+        F.floor(F.col("frame_num") / _CD_SPAN).cast("int").alias("batch"),
+    )
+    n_batches = _CD_FRAMES // _CD_SPAN
+    work = tempfile.mkdtemp(prefix="change_detect_replay_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        write_microbatch_files_partitioned(staged, "batch", n_batches, f"{work}/in")
+        stream = file_stream(
+            spark, f"{work}/in", "camera INT, frame_num INT, payload_hash STRING"
+        )
+        if _has_protobuf():
+            # the tws path requires the RocksDB store; scoped to this
+            # run, restored below (results are provider-independent)
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        with _scoped_shuffle(spark, _CD_CAMERAS):
+            emitted = run_to_memory(
+                drop_unchanged_frames(stream),
+                f"change_detect_{uuid.uuid4().hex[:8]}",
+                f"{work}/ckpt",
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        elif _has_protobuf():
+            spark.conf.unset(key)
+        shutil.rmtree(work, ignore_errors=True)
+    return emitted.select("camera", "frame_num", "payload_hash")
+
+
 # ------------------------------------------------------- stream-stream
 
 @contextmanager

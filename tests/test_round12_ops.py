@@ -153,6 +153,58 @@ def test_minhash_recall_contract(spark, sf_dir):
     assert flagged <= lsh
 
 
+def test_change_detect_replay_contract(spark, sf_dir):
+    """stream_change_detect_replay: survivors are EXACTLY the first
+    frame of each planted duplicate run (closed-form recomputation
+    here, independent of the DuckDB oracle), and at least one run
+    straddles a micro-batch boundary with its continuation suppressed
+    — the cross-batch state-durability property the replay exists to
+    drive (a detector that loses state between batches re-emits the
+    boundary frame)."""
+    import hashlib
+
+    from eye_of_sauron_spark.sources import load_table
+    from eye_of_sauron_spark.streaming import replay
+
+    got = {
+        (r["camera"], r["frame_num"]): r["payload_hash"]
+        for r in replay.stream_change_detect_replay(spark, sf_dir).collect()
+    }
+    # closed-form expectation, pure python
+    ev = sorted(
+        r["event_id"] for r in load_table(spark, sf_dir, "events")
+        .select("event_id").collect()
+    )
+    per_cam: dict[int, int] = {}
+    expect = {}
+    boundary_suppressed = 0
+    run_ids: dict[int, int] = {}
+    for eid in ev:
+        cam = eid % replay._CD_CAMERAS
+        fn = per_cam.get(cam, 0)
+        per_cam[cam] = fn + 1
+        if fn >= replay._CD_FRAMES:
+            continue
+        h32 = int(
+            hashlib.md5(f"chg:{cam}:{fn}".encode()).hexdigest()[:8], 16
+        )
+        chg = fn == 0 or h32 % 3 == 0
+        run_ids[cam] = run_ids.get(cam, 0) + (1 if chg else 0)
+        if chg:
+            expect[(cam, fn)] = hashlib.md5(
+                f"run:{cam}:{run_ids[cam]}".encode()
+            ).hexdigest()
+        elif fn % replay._CD_SPAN == 0:
+            # run continues across a micro-batch boundary and the
+            # boundary frame must be suppressed
+            boundary_suppressed += 1
+    assert got == expect
+    assert boundary_suppressed > 0, (
+        "fixture planted no cross-batch duplicate runs — the replay "
+        "no longer exercises state durability"
+    )
+
+
 @pytest.mark.parametrize("fail_at", [2, 3])
 def test_textrank_graph_checkpoint_failure_frees_prior(
     spark, sf_dir, monkeypatch, fail_at
