@@ -40,84 +40,92 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r11 rotation (50 entries = the driver's exact per-round
-    # budget, measured: every CORRECTNESS_r02..r10 file holds exactly
+    # --- r12 rotation (50 entries = the driver's exact per-round
+    # budget, measured: every CORRECTNESS_r02..r11 file holds exactly
     # 50 rows) ---
-    # 1) the three r10 registrations with NO driver row yet plus the
-    # one query whose latest row predates r08 (VERDICT r10 item 1):
-    # these lead unconditionally.
-    "search_hybrid_rrf",
-    "decontam_semantic_embedding",
-    "split_leakage_neardup",
-    "window_running_total",
-    # 2) NEW this round (VERDICT r10 items 4+6), registered +
+    # 1) the 5 r11 deferrals — the only rows whose latest driver
+    # evidence is r08 (VERDICT r11 item 1): these lead
+    # unconditionally.
+    "cube_quantity",
+    "json_map_explode",
+    "setop_union_nations",
+    "setop_intersect_nations",
+    "topk_orders_by_price",
+    # 2) NEW this round (VERDICT r11 items 4+5), registered +
     # oracle-certified at three scales + pytest-pinned + benched
     # BEFORE the round's final verification pass (the r09 process
-    # rule): SemDeDup cell prune and the linear quality classifier.
-    "dedup_semantic_cells",
-    "quality_classifier_score",
-    # 3) 44 of the 49 queries whose latest driver row is r08 —
-    # explicitly including the four r08 streaming replays (VERDICT
-    # r10 item 7). After r11, 5 deferrals below are the only rows
-    # older than r09; they lead the r12 rotation.
-    "approx_distinct_users",
-    "array_vector_scalars",
-    "asof_join_click_before_purchase",
-    "binary_base64_codec",
-    "conditional_agg_event_matrix",
-    "corr_hourly_click_purchase",
-    "cross_join_region_pairs",
-    "datetime_bucketing",
-    "dedup_cluster_multimodal",
-    "dedup_simhash",
-    "filter_projection_pushdown",
-    "grouping_sets_mixed",
-    "histogram_value_buckets",
-    "interval_join_activity_before_error",
-    "json_extract_props",
-    "json_serialize_roundtrip",
-    "median_percentiles_value",
-    "minmax_by_segment",
-    "ml_face_pipeline",
-    "multi_distinct_by_priority",
-    "multimodal_frame_features",
-    "multimodal_resize",
-    "pack_sequences",
-    "pivot_event_counts",
-    "reorder_replay",
-    "rollup_orders_by_month",
-    "setop_except_customers",
-    "similarity_topk_cosine",
-    "similarity_topk_ivf",
-    "split_train_val_test",
-    "stats_acctbal_by_nation",
-    "stream_dedup_replay",
-    "stream_join_replay",
-    "stream_static_match_replay",
-    "string_filename_parse",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_term_stats",
-    "text_token_counts",
-    "tfidf_top_terms",
-    "theta_join_acctbal_dominance",
-    "topk_per_group_orders",
-    "unpivot_part_metrics",
-    # --- deferred to r12 (the 2 new queries above displaced exactly
-    # 2 slots; 5 r08 rows remain): each deferral is the
+    # rule): the MinHash-LSH recall contract and the A1 smart-mode
+    # change-detector replay.
+    "dedup_minhash_recall",
+    "stream_change_detect_replay",
+    # 3) 43 of the 50 queries whose latest driver row is r09 (they
+    # turn 3 rounds old after r12). The 7 deferrals below lead r13.
+    "anomaly_zscore_events",
+    "cdc_latest_snapshot",
+    "cohort_retention_orders",
+    "curation_pipeline_e2e",
+    "dataset_diff_snapshots",
+    "decontam_source_overlap_matrix",
+    "dedup_cluster_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_incremental_corpus",
+    "dedup_minhash_lsh",
+    "dedup_span_coverage",
+    "event_sequence_trigrams",
+    "graph_triangle_census",
+    "histogram_equi_depth_value",
+    "join_salted_skew",
+    "market_basket_part_pairs",
+    "mixture_temperature_sample",
+    "pca_power_iteration",
+    "profile_events_columns",
+    "range_join_time_buckets",
+    "scd2_merge_customers",
+    "similarity_ivf_recall",
+    "similarity_lsh_recall",
+    "similarity_sq8_recall",
+    "sketch_quantiles_value",
+    "skyline_pareto_orders",
+    "stream_cdc_apply_replay",
+    "stream_funnel_bucketed_replay",
+    "stream_late_drop_replay",
+    "stream_left_join_replay",
+    "stream_rebroadcast_replay",
+    "stream_restart_replay",
+    "stream_session_replay",
+    "stream_update_mode_replay",
+    "stream_window_replay",
+    "text_bigram_lm",
+    "text_lm_score",
+    "textrank_keywords",
+    "timeseries_gap_fill",
+    "validate_events_expectations",
+    "window_percent_rank_acctbal",
+    "winsorize_values_by_type",
+    # --- deferred to r13 (the 2 new queries above displaced exactly
+    # 2 slots; 7 r09 rows wait): each deferral is the
     # lowest-information sibling of a family member that IS in the
-    # rotation — shared plan helpers, hash-green r08, re-greened
-    # locally in every pytest run (tests/test_queries_oracle.py):
-    #   setop_union_nations, setop_intersect_nations (siblings of
-    #     setop_except_customers, one relational.py set-op helper),
-    #   cube_quantity (sibling of rollup_orders_by_month +
-    #     grouping_sets_mixed, one grouped.py helper),
-    #   json_map_explode (sibling of json_extract_props +
-    #     json_serialize_roundtrip),
-    #   topk_orders_by_price (global TakeOrderedAndProject; sibling
-    #     of topk_per_group_orders' windowed form).
-    # They lead the r12 rotation.
+    # rotation — shared plan/oracle machinery, hash-green r09,
+    # re-greened locally in every pytest run
+    # (tests/test_queries_oracle.py):
+    #   dedup_ngram_jaccard (its result set + oracle are nested
+    #     verbatim inside the NEW dedup_minhash_recall's ground-truth
+    #     side, so every r12 driver run re-verifies it implicitly),
+    #   similarity_topk_lsh, similarity_topk_sq8_rerank (their full
+    #     ANN oracles ride inside similarity_{lsh,sq8}_recall's CTEs,
+    #     both in rotation),
+    #   dedup_span_rewrite (sibling of dedup_span_coverage — same
+    #     (lang,span) window + island machinery; rewrite adds only
+    #     the narrow positional cut),
+    #   stream_funnel_replay (same oracle as
+    #     stream_funnel_bucketed_replay, which is in rotation and is
+    #     the scale path),
+    #   timeseries_ohlc_resample (sibling of timeseries_gap_fill,
+    #     shared time-bucketing helpers),
+    #   text_char_diversity (sibling of the in-rotation
+    #     text_bigram_lm/text_lm_score fixed-point textual family).
+    # They lead the r13 rotation.
 )
 
 
