@@ -46,3 +46,42 @@ def unpersist_ids(spark: SparkSession, ids: list[int]) -> None:
         rdd = live.get(rid)
         if rdd is not None:
             rdd.unpersist(False)
+
+
+# Session-level drain: after a query's RESULT has been fully consumed
+# (collected/hashed/written), even the one RDD it legitimately pins —
+# its final checkpoint — is dead weight. A driver session running the
+# full registry otherwise ends holding one block set per iterative
+# query (CC x2, TextRank, PCA, BM25 memo, split_leakage, ~6 total).
+# Modules owning cross-query memos register a hook so draining also
+# invalidates their cached DataFrame handles (a memo whose checkpoint
+# was freed underneath it would hand out unreadable lineage-cut plans).
+
+_DRAIN_HOOKS: list = []
+
+
+def register_drain_hook(fn) -> None:
+    """Register ``fn(spark)`` to run first in :func:`drain_session`
+    (idempotent per function object)."""
+    if fn not in _DRAIN_HOOKS:
+        _DRAIN_HOOKS.append(fn)
+
+
+def drain_session(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD on the context and clear
+    registered memos; returns how many RDDs were released.
+
+    Call ONLY at query boundaries (the previous result consumed, the
+    next not yet built): any still-unconsumed DataFrame backed by a
+    localCheckpoint is invalidated — its lineage was truncated, so the
+    freed blocks cannot be recomputed."""
+    for fn in list(_DRAIN_HOOKS):
+        fn(spark)
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rid in [int(i) for i in live.keySet().toArray()]:
+        rdd = live.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+            n += 1
+    return n

@@ -1098,27 +1098,47 @@ _BM25_ORACLE = f"""
 _BM25_POSTINGS_MEMO: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
 
 
-def _bm25_postings_shared(
-    spark: SparkSession, postings: DataFrame, memo_key: tuple[str, str]
-) -> DataFrame:
-    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+def _drain_bm25_memo(spark) -> None:
+    """materialize.drain_session hook: drop every memo slot, freeing
+    current-session blocks (stale-session ids must NOT be unpersisted
+    — they can collide with live RDD ids; see _bm25_postings_shared).
+    The memo simply repopulates on the next retrieval query."""
+    from ..functions.materialize import unpersist_ids
 
-    hit = _BM25_POSTINGS_MEMO.get(memo_key)
-    if hit is not None:
-        return hit[0]
-    ck, new_ids = checkpoint_tracked(postings)
-    # evict the previous corpus's postings; free its blocks ONLY if
-    # the entry belongs to THIS SparkContext. RDD ids restart at 0 per
-    # context, so a stale entry's ids from a previous session can
-    # collide with live persistent RDDs here (including the checkpoint
-    # just created) — unpersisting them would free lineage-cut blocks
-    # that cannot be recomputed. Stale-session entries died with their
-    # context; dropping the memo slot is the whole cleanup.
     app_id = spark.sparkContext.applicationId
     for old_key, (_, old_ids) in list(_BM25_POSTINGS_MEMO.items()):
         if old_key[0] == app_id:
             unpersist_ids(spark, old_ids)
         del _BM25_POSTINGS_MEMO[old_key]
+
+
+def _register_drain() -> None:
+    from ..functions.materialize import register_drain_hook
+
+    register_drain_hook(_drain_bm25_memo)
+
+
+_register_drain()
+
+
+def _bm25_postings_shared(
+    spark: SparkSession, postings: DataFrame, memo_key: tuple[str, str]
+) -> DataFrame:
+    from ..functions.materialize import checkpoint_tracked
+
+    hit = _BM25_POSTINGS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[0]
+    ck, new_ids = checkpoint_tracked(postings)
+    # evict the previous corpus's postings; _drain_bm25_memo frees its
+    # blocks ONLY if the entry belongs to THIS SparkContext. RDD ids
+    # restart at 0 per context, so a stale entry's ids from a previous
+    # session can collide with live persistent RDDs here (including
+    # the checkpoint just created) — unpersisting them would free
+    # lineage-cut blocks that cannot be recomputed. Stale-session
+    # entries died with their context; dropping the slot is the whole
+    # cleanup.
+    _drain_bm25_memo(spark)
     _BM25_POSTINGS_MEMO[memo_key] = (ck, new_ids)
     return ck
 

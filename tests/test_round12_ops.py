@@ -127,6 +127,32 @@ def test_cluster_components_call_site_failure_frees_edges(
     )
 
 
+def test_drain_session_releases_result_pins(spark, sf_dir):
+    """After a query's result is consumed, drain_session must release
+    even the one RDD each iterative query legitimately pins (its final
+    checkpoint) AND the BM25 memo's postings — leaving ZERO persistent
+    RDDs — and the memoized queries must still work afterwards (the
+    memo repopulates instead of handing out a freed lineage-cut
+    plan)."""
+    from eye_of_sauron_spark.functions.materialize import drain_session
+    from eye_of_sauron_spark.plans import textual
+    from eye_of_sauron_spark.plans.dedup import dedup_cluster_components
+
+    # consume two pinning queries: an iterative CC and the BM25 memo
+    dedup_cluster_components(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    n1 = textual.search_bm25_topk(spark, sf_dir).count()
+    assert _n_persist(spark) >= 2  # CC result + postings memo
+    drain_session(spark)
+    assert _n_persist(spark) == 0
+    assert textual._BM25_POSTINGS_MEMO == {}
+    # memoized query repopulates and returns the same result
+    assert textual.search_bm25_topk(spark, sf_dir).count() == n1
+    drain_session(spark)
+    assert _n_persist(spark) == 0
+
+
 def test_minhash_recall_contract(spark, sf_dir):
     """dedup_minhash_recall: one row per exact ground-truth pair
     (== dedup_ngram_jaccard's result set), with in_candidates true iff

@@ -37,10 +37,18 @@ def main() -> int:
     con = duckdb_con(sf_dir)
     fails: list[str] = []
     t0 = time.time()
+    from eye_of_sauron_spark.functions.materialize import drain_session
+
     for i, name in enumerate(names):
         try:
             compare(queries[name](spark, sf_dir), con, oracles[name])
             print(f"{i + 1:3d}/{len(names)} OK   {name}", flush=True)
+            # the result is consumed (compare collected it): release
+            # even the final-result checkpoint the iterative queries
+            # legitimately pin, so the session's executor storage is
+            # flat across the registry instead of accumulating one
+            # block set per iterative query
+            drain_session(spark)
         except Exception as exc:  # noqa: BLE001 — report, keep going
             fails.append(name)
             print(
@@ -64,7 +72,14 @@ def main() -> int:
                 spark.catalog.clearCache()
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
-    print(f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}")
+    drain_session(spark)
+    n_pinned = len(
+        list(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    )
+    print(
+        f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}; "
+        f"pinned RDDs at session end: {n_pinned}"
+    )
     if len(fails) > 1:
         print(
             f"note: first failure ({fails[0]}) is the likely root cause; "
