@@ -132,7 +132,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most one document). One running-sum window per language — a
     single shuffle on lang with ordered in-partition accumulation; at
     100 TB the partition key would widen to (lang, shard) with
-    per-shard budgets, same plan shape."""
+    per-shard budgets, same plan shape.
+
+    Token-unit contract: the budget counts WHITESPACE tokens
+    (tokens_spark). On the fixture this equals the BPE-ish regex lexer
+    exactly (ratio 1.0, pinned by
+    tests/test_round12_ops.py::test_tokenizer_fidelity_probe), so
+    fixture results are tokenizer-unit-independent; production text
+    diverges (punctuation/numbers split), so convert a BPE budget by
+    the measured corpus ratio or swap textual._TOKEN_RX into the
+    n_tok expression — one expression change, identical plan shape
+    (SCALE.md 'Tokenizer fidelity')."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(tokens_spark(F.col("text"))).alias("n_tok")

@@ -398,7 +398,11 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization. Chunk boundaries are computed per-document with
     sequence/transform/slice (narrow, zero shuffle) and exploded to
     one row per chunk; the final chunk is the remainder (may be short,
-    every token appears in >= 1 chunk)."""
+    every token appears in >= 1 chunk).
+
+    Token-unit contract: windows count WHITESPACE tokens — see
+    pack_sequences' note (plans/curation.py) and SCALE.md 'Tokenizer
+    fidelity' for the BPE-budget conversion."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_spark(F.col("text"))
     n_chunks = (

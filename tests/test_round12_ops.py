@@ -231,6 +231,69 @@ def test_change_detect_replay_contract(spark, sf_dir):
     )
 
 
+def test_tokenizer_fidelity_probe(spark, sf_dir):
+    """Pins the token-UNIT contract of the curation budgets (VERDICT
+    r11 item 7): pack_sequences / text_chunking budgets are counted in
+    WHITESPACE tokens (functions/text.py::tokens_spark); the BPE-ish
+    regex lexer (textual._TOKEN_RX: letter runs | digit runs | single
+    symbols) is the production-fidelity proxy.
+
+    Three facts this probe keeps honest:
+    1. On the synthetic fixture the two lexers agree EXACTLY (ratio
+       1.0 — the documents are space-separated bare words), so every
+       fixture-verified curation result is tokenizer-unit-independent.
+       If a future fixture generation adds punctuation, this assert
+       trips and the budget docs must be re-measured.
+    2. On punctuated production-shaped text they diverge (planted
+       sample here: BPE-ish > whitespace), so a production deployment
+       converting a BPE token budget to this engine's unit must divide
+       by the measured corpus ratio — or swap _TOKEN_RX into the
+       budget expression (one-line change, same plan shape).
+    3. pack_sequences' bins account for every whitespace token exactly
+       once: sum(bin_tokens) per lang == total ws tokens per lang.
+    """
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.functions.text import tokens_spark
+    from eye_of_sauron_spark.plans import curation, textual
+
+    # (1) fixture: whitespace and BPE-ish counts coincide per lang
+    counts = textual.text_token_counts(spark, sf_dir).collect()
+    assert counts
+    for r in counts:
+        assert r["ws_tokens"] == r["re_tokens"], (
+            f"fixture now tokenizes differently for {r['lang']} "
+            f"(ws={r['ws_tokens']} re={r['re_tokens']}): re-measure the "
+            "curation token-budget docs"
+        )
+
+    # (2) planted punctuated text: the BPE-ish lexer counts more
+    planted = spark.createDataFrame(
+        [("Dr. Smith's fee is $1,234.50 (invoice #42) -- re-sent!",)],
+        "text STRING",
+    ).select(
+        F.size(tokens_spark(F.col("text"))).alias("ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(textual._TOKEN_RX), F.lit(0))
+        ).alias("re"),
+    ).collect()[0]
+    assert planted["ws"] == 9
+    assert planted["re"] > planted["ws"]
+
+    # (3) budget unit: pack bins cover each whitespace token once
+    packed = {
+        (r["lang"]): r["t"]
+        for r in curation.pack_sequences(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum("bin_tokens").alias("t"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["ws_tokens"] for r in counts
+    }
+    assert packed == totals
+
+
 @pytest.mark.parametrize("fail_at", [2, 3])
 def test_textrank_graph_checkpoint_failure_frees_prior(
     spark, sf_dir, monkeypatch, fail_at
