@@ -51,7 +51,14 @@ def test_match_is_broadcast_nlj(spark, sf_dir):
 
 def test_dedup_joins_stay_equi(spark, sf_dir):
     # banded/bucketed candidate generation must plan as equi joins
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"):
+    # dedup_minhash_recall: the pair-alignment join on (doc_a, doc_b)
+    # must also stay equi (AQE choosing BroadcastHashJoin is fine)
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_minhash_recall",
+    ):
         p = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name

@@ -98,6 +98,48 @@ def test_reorder_with_gaps_never_reorders_or_duplicates(present, buffer_size):
     assert len(present) - len(out) <= buffer_size
 
 
+@given(
+    hs=st.lists(st.sampled_from("abc"), min_size=0, max_size=60),
+    splits=st.lists(st.integers(0, 60), max_size=5),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_change_detector_collapses_runs(hs, splits, seed):
+    """A1 smart-mode state machine (streaming/change_detect.py
+    _detect_changes — the same per-key semantics as the
+    StatefulProcessor variant): for ANY hash sequence, ANY micro-batch
+    split, and ANY within-batch arrival shuffle, the emitted frames
+    are exactly the change points (frame 0 + every frame whose hash
+    differs from its predecessor) — runs collapse across batch
+    boundaries (state carries) and within-batch disorder is repaired
+    by the frame_num sort. A tiny alphabet forces long duplicate
+    runs."""
+    from eye_of_sauron_spark.streaming.change_detect import _detect_changes
+
+    n = len(hs)
+    bounds = [0, *sorted({min(s, n) for s in splits}), n]
+    rng = np.random.default_rng(seed)
+    state = _StubState()
+    out: list[tuple[int, int, str]] = []
+    for a, b in zip(bounds, bounds[1:]):
+        if a >= b:
+            continue
+        idx = list(range(a, b))
+        rng.shuffle(idx)  # within-batch arrival order must not matter
+        pdf = pd.DataFrame(
+            {"frame_num": idx, "payload_hash": [hs[i] for i in idx]}
+        )
+        for res in _detect_changes((7,), iter([pdf]), state):
+            out.extend(
+                (int(c), int(f), h)
+                for c, f, h in zip(
+                    res["camera"], res["frame_num"], res["payload_hash"]
+                )
+            )
+    expect = [(7, i, hs[i]) for i in range(n) if i == 0 or hs[i] != hs[i - 1]]
+    assert out == expect
+
+
 @given(payload=st.binary(min_size=0, max_size=200))
 @settings(max_examples=300, deadline=None)
 def test_stub_models_total_and_deterministic(payload):

@@ -70,6 +70,9 @@ def main() -> int:
                     except Exception:  # noqa: BLE001
                         pass
                 spark.catalog.clearCache()
+                # a failed query may have pinned checkpoints before
+                # raising; drain them like the success path does
+                drain_session(spark)
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
     drain_session(spark)
