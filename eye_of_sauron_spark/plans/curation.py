@@ -953,3 +953,241 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") >= 2)
     )
+
+# ------------------------------------- group-routed (leakage-proof) split
+
+_GK_KEY_DUCK = "'split:' || CAST(gk AS VARCHAR)"
+_GK_BUCKET_DUCK = f"{hex32_duck(_GK_KEY_DUCK)} % 100"
+
+_GROUP_ROUTED_SQL = f"""
+    WITH RECURSIVE {_CC_CTES},
+    comp AS (
+        SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node
+    ),
+    routed AS (
+        SELECT d.doc_id, d.n_chars,
+               coalesce(c.component, d.doc_id) AS gk,
+               (c.component IS NOT NULL) AS clustered
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id, n_chars, gk, clustered,
+               CASE
+                   WHEN {_GK_BUCKET_DUCK} < {_TRAIN_PCT} THEN 'train'
+                   WHEN {_GK_BUCKET_DUCK} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS gsplit,
+               CASE
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT} THEN 'train'
+                   WHEN {_SPLIT_BUCKET_DUCK} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS osplit
+        FROM routed
+    ),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS leaking FROM (
+            SELECT gk FROM labeled WHERE clustered
+            GROUP BY gk HAVING count(DISTINCT gsplit) >= 2
+        )
+    )
+    SELECT gsplit AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered,
+           CAST(sum(CASE WHEN gsplit != osplit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           (SELECT leaking FROM audit) AS leaking_components
+    FROM labeled
+    GROUP BY gsplit
+"""
+
+
+@query("split_group_routed", oracle=_GROUP_ROUTED_SQL)
+def split_group_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-PROOF split routing — the production fix that
+    split_leakage_neardup's audit motivates: route every document by
+    the hash of its near-dup COMPONENT id (the component's minimum
+    doc_id) instead of its own id, so an entire cluster lands in one
+    split and train/test contamination through near-duplicates is
+    impossible by construction. Documents outside any near-dup pair
+    keep ``coalesce(component, doc_id) = doc_id`` and the SAME bucket
+    formula as split_train_val_test — so the migration from per-doc
+    to group routing touches ONLY clustered docs (``n_moved`` counts
+    them), never reshuffles the 99%+ singleton corpus.
+
+    Emits one row per split with group/doc/char accounting plus the
+    closed-loop re-audit as a hashed column: ``leaking_components``
+    re-runs the straddle audit against the NEW routing and must be 0
+    (split is a function of the group key, so a nonzero value means
+    the routing or the component labels broke — the audit that found
+    real leaks under per-doc routing now proves their absence).
+
+    Scale shape: components come from the identical CC machinery as
+    dedup_cluster_components (banded candidates, pointer-jumping
+    label propagation, O(log diameter) rounds — scale-argued there);
+    the component relation holds ONLY near-dup nodes, a small
+    fraction of the corpus, so the corpus-side LEFT join is
+    AQE-broadcastable at the fixture and stays a fraction-of-corpus
+    shuffle at 100 TB. Everything after the join is narrow hash
+    expressions plus one 3-group all-partial aggregate; the re-audit
+    aggregates only clustered rows. Reference tie: deterministic
+    key-routing of frames to per-camera topics (src/utils.py:213-244)
+    lifted to content-group routing of documents into splits."""
+    comps = dedup_cluster_components(spark, sf_dir).select("doc_id", "component")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    routed = (
+        d.join(comps.withColumnRenamed("doc_id", "cid"),
+               d.doc_id == F.col("cid"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("gk"),
+            F.col("component").isNotNull().alias("clustered"),
+        )
+    )
+
+    def _route(key: Column) -> Column:
+        b = hex32_spark(F.concat(F.lit("split:"), key.cast("string"))) % 100
+        return (
+            F.when(b < _TRAIN_PCT, "train")
+            .when(b < _TRAIN_PCT + _VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    labeled = routed.select(
+        "doc_id",
+        "n_chars",
+        "gk",
+        "clustered",
+        _route(F.col("gk")).alias("gsplit"),
+        _route(F.col("doc_id")).alias("osplit"),
+    )
+    audit = (
+        labeled.filter("clustered")
+        .groupBy("gk")
+        .agg(F.countDistinct("gsplit").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .agg(F.count("*").cast("bigint").alias("leaking_components"))
+    )
+    return (
+        labeled.groupBy(F.col("gsplit").alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("gk").cast("bigint").alias("n_groups"),
+            F.sum(F.col("clustered").cast("int")).cast("bigint").alias("n_clustered"),
+            F.sum((F.col("gsplit") != F.col("osplit")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+# --------------------------------------- token-budget epoch schedule
+
+# Global training-token budget the mixture must fill. Absolute (a run
+# trains on N tokens, not on a corpus fraction), so the schedule's
+# epoch counts fall as the corpus grows — the correct production
+# behavior, and the oracle recomputes it per scale.
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({tokens_duck('text')})) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs, avail_tokens,
+               CAST(floor(sqrt(avail_tokens) * 1000000) AS BIGINT) AS sqrtm
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(sum(sqrtm) AS BIGINT) AS sq_total FROM weighted
+    ),
+    sched AS (
+        SELECT source, n_docs, avail_tokens,
+               (sqrtm * 1000000) // sq_total AS weight_ppm,
+               ({_BUDGET_TOKENS} * ((sqrtm * 1000000) // sq_total))
+                   // 1000000 AS target_tokens
+        FROM weighted, tot
+    )
+    SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
+           target_tokens // avail_tokens AS epochs,
+           ((target_tokens % avail_tokens) * 1000000) // avail_tokens
+               AS residual_ppm
+    FROM sched
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repeat schedule filling a global token budget
+    — the step AFTER mixture weights are chosen: given temperature
+    weights (tau = 0.5 over available tokens, the same
+    IEEE-exact-sqrt fixed-point rule as mixture_temperature_sample)
+    and an absolute training budget of 1M whitespace tokens, emit for
+    each source its target token allocation, the number of FULL
+    passes over the source (``epochs = target div available``), and
+    the sampling rate for the final partial pass (``residual_ppm``).
+    This is the data-recipe table LLM training runs consume (e.g. the
+    LLaMA-style "epochs over Wikipedia vs one pass over CommonCrawl"
+    schedule), derived deterministically so every engine and every
+    re-run schedules identically.
+
+    Integer ranges: sqrtm = floor(sqrt(tokens))*1e6 <= 5.5e15 at
+    100 TB-of-text scale (3e19 tokens would overflow first — far past
+    any corpus); sqrtm*1e6 <= 5.5e21 EXCEEDS int64, so the normalizer
+    divides FIRST via (sqrtm * 1e6) div sq_total only when sq_total
+    >= sqrtm — which always holds (the sum includes the term), so
+    weight_ppm <= 1e6 and every later product is <= 1e12. The one
+    structural overflow risk (sqrtm * 1e6 before the div) is real at
+    ~3e6 sources x petabyte sources; the docstring pins the bound so
+    the check is explicit.
+
+    Scale shape: ONE per-source aggregate over the scan (token counts
+    are a narrow map — at 100 TB this rides any existing pass), a
+    1-row normalizer broadcast, then narrow integer arithmetic on a
+    sources-sized relation. No shuffle beyond the per-source combine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_spark(F.col("text")))).cast("bigint").alias(
+            "avail_tokens"
+        ),
+    )
+    weighted = per_source.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.floor(F.sqrt(F.col("avail_tokens")) * 1000000)
+        .cast("bigint")
+        .alias("sqrtm"),
+    )
+    tot = weighted.agg(F.sum("sqrtm").cast("bigint").alias("sq_total"))
+    sched = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.expr("(sqrtm * 1000000) div sq_total").alias("weight_ppm"),
+        F.expr(
+            f"({_BUDGET_TOKENS} * ((sqrtm * 1000000) div sq_total)) div 1000000"
+        ).alias("target_tokens"),
+    )
+    return sched.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "weight_ppm",
+        "target_tokens",
+        F.expr("target_tokens div avail_tokens").alias("epochs"),
+        F.expr(
+            "((target_tokens % avail_tokens) * 1000000) div avail_tokens"
+        ).alias("residual_ppm"),
+    )

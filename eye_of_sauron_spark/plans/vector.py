@@ -723,6 +723,219 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_of(spark, sf_dir, similarity_topk_sq8_rerank)
 
 
+# ---------------------------------- product quantization + re-rank
+
+_PQ_M = 8        # subspaces (64 dims -> 8 x 8-dim subvectors)
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16       # codebook entries per subspace = the 16 smallest vec_ids
+_PQ_RERANK_M = 32  # ADC-stage shortlist per query (~10x the final k:
+# 8-byte codes rank noisily on the isotropic fixture, so the shortlist
+# is deeper than SQ8's 8 — measured at sf0.01: recall@3 0.37 at depth
+# 8, 0.53 at 32; a 1-Lloyd-step trained codebook reaches 0.70 only at
+# the same depth, so depth is the better lever here)
+_PQ_TOPK = 3      # final exact-ranked neighbors emitted
+
+
+def _pq_slice_duck(arr: str, m: str) -> str:
+    """``list_slice(arr, m*8+1, m*8+8)`` — subvector ``m`` (0-based)."""
+    return (
+        f"list_slice({arr}, CAST({m} * {_PQ_SUBDIM} + 1 AS INT), "
+        f"CAST({m} * {_PQ_SUBDIM} + {_PQ_SUBDIM} AS INT))"
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS se
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    subassign AS (
+        SELECT e.vec_id, m.m, s.seed_id,
+               CAST(floor({euclid_duck(_pq_slice_duck('e.embedding', 'm.m'),
+                                       _pq_slice_duck('s.se', 'm.m'))}
+                          * 1000000) AS BIGINT) AS dm
+        FROM embeddings e,
+             unnest(range(0, {_PQ_M})) AS m(m),
+             seeds s
+    ),
+    best AS (
+        SELECT vec_id, m, seed_id,
+               row_number() OVER (
+                   PARTITION BY vec_id, m ORDER BY dm, seed_id
+               ) AS rn
+        FROM subassign
+    ),
+    recon AS (
+        SELECT b.vec_id,
+               flatten(list({_pq_slice_duck('s.se', 'b.m')} ORDER BY b.m))
+                   AS re
+        FROM best b JOIN seeds s ON s.seed_id = b.seed_id
+        WHERE b.rn = 1
+        GROUP BY b.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE {_QUERY_FILTER}
+    ),
+    adc AS (
+        SELECT q.qid, r.vec_id AS cid, q.qe,
+               {cosine_duck('q.qe', 'r.re')} AS acos
+        FROM q, recon r WHERE r.vec_id != q.qid
+    ),
+    shortlist AS (
+        SELECT qid, cid, qe, acos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY acos DESC, cid ASC
+               ) AS arn
+        FROM adc
+    ),
+    exact AS (
+        SELECT s.qid, s.cid, round(s.acos, 6) AS approx_cosine,
+               {cosine_duck('s.qe', 'c.embedding')} AS cos
+        FROM shortlist s JOIN embeddings c ON c.vec_id = s.cid
+        WHERE s.arn <= {_PQ_RERANK_M}
+    ),
+    ranked AS (
+        SELECT qid, cid, approx_cosine, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid ASC
+               ) AS rn
+        FROM exact
+    )
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank, cid AS cand_id,
+           round(cos, 6) AS cosine, approx_cosine
+    FROM ranked WHERE rn <= {_PQ_TOPK}
+    """
+
+
+@query("similarity_topk_pq_rerank", oracle=_PQ_ORACLE)
+def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over a PRODUCT-QUANTIZED index (Jégou et
+    al. 2011) — the memory tier past SQ8: each vector is encoded as 8
+    codebook ids (one per 8-dim subspace, 16 entries per codebook =
+    the subvectors of the 16 smallest vec_ids), i.e. ~8 BYTES per
+    vector vs SQ8's 64 and fp32's 256. Stage 1 scores every query
+    against the RECONSTRUCTED candidates (asymmetric distance
+    computation: exact query x decoded candidate — cosine over the
+    concatenated nearest-codeword subvectors) and keeps a top-8
+    shortlist; stage 2 fetches ONLY the shortlist's full-precision
+    rows and re-ranks with exact cosine, emitting the top-3.
+
+    Determinism: codeword assignment quantizes each subspace distance
+    to micro BIGINTs with the (dm, seed_id) tie rule
+    (kmeans_lloyd_step's convention) BEFORE the cross-codeword argmin;
+    the winning SUBVECTOR rides in the fold accumulator, so the
+    reconstruction is the concatenation both engines build from
+    identical float literals — and the ADC cosine is then the
+    bitwise-portable functions/vector.py fold over two identical
+    arrays.
+
+    Scale shape: the codebook folds into ONE broadcast row
+    (collect_list aggregate, no driver collect); encoding is a NARROW
+    per-row fold over it (8 subspaces x 16 codewords x 8-dim folds),
+    fused into the scan. Stage 1 is broadcast-queries x a scan that
+    at production width reads 8-byte codes, not embeddings — the
+    32x IO cut is the operator's reason to exist; stage 2 re-joins
+    the O(queries x 8) shortlist (broadcast) against the corpus for
+    full-precision rows, so the expensive fetch never exceeds
+    shortlist size. Codebooks here are seed-picked (deterministic);
+    production trains them with kmeans_lloyd_step per subspace —
+    same plan, better centroids. Reference tie: A6's tolerance match
+    generalized; the compressed-index shape FAISS IVFPQ runs at
+    billion scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds_row = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
+        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds"))
+    )
+
+    def _sub(arr, m):
+        return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    _none = F.struct(
+        F.lit(None).cast("bigint").alias("sid"),
+        F.lit(None).cast("bigint").alias("dm"),
+        F.lit(None).cast("array<float>").alias("sub"),
+    )
+
+    def _encode(m):
+        def _closer(acc, s):
+            cand = _sub(s["se"], m)
+            d = (
+                F.floor(
+                    euclid_spark(_sub(F.col("embedding"), m), cand) * 1000000
+                ).cast("bigint")
+            )
+            return F.when(
+                acc["dm"].isNull() | (d < acc["dm"]),
+                F.struct(
+                    s["seed_id"].alias("sid"), d.alias("dm"), cand.alias("sub")
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col("sds"), _none, _closer)
+
+    msel = F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), _encode)
+    recon = (
+        _spread(emb, "vec_id")
+        .crossJoin(F.broadcast(seeds_row))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.flatten(F.transform(msel, lambda x: x["sub"])).alias("re"),
+        )
+    )
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    wa = W.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("cid").asc())
+    shortlist = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qe", cosine_spark(F.col("qe"), F.col("re")).alias("acos"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= _PQ_RERANK_M)
+    )
+    exact = emb.join(
+        F.broadcast(shortlist), emb.vec_id == shortlist.cid
+    ).select(
+        "qid",
+        "cid",
+        F.round("acos", 6).alias("approx_cosine"),
+        cosine_spark(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid").alias("cand_id"),
+            F.round("cos", 6).alias("cosine"),
+            "approx_cosine",
+        )
+    )
+
+
+@query("similarity_pq_recall", oracle=_recall_oracle(_PQ_ORACLE))
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ + re-rank path vs the exact top-3 — the
+    quality contract for the most aggressive compression tier (8-byte
+    codes). Loss mechanism: a true neighbor whose reconstruction
+    error pushes it below the ADC top-32. The fixture's embeddings
+    are ISOTROPIC unit vectors (within-label variance == global — no
+    manifold structure), the information-theoretic worst case for
+    vector quantization, so the measured value (~0.5 at sf0.01) sits
+    between the LSH contract (~0.07) and IVF (~0.5) rather than near
+    SQ8's 1.0; real embedding corpora (intrinsic dim << 64) compress
+    far better. That spread is the point of the contract family:
+    quality is a measured, hash-checked number per tier — and a
+    one-sided arithmetic drift fails the hash compare before it
+    moves recall."""
+    return _recall_of(spark, sf_dir, similarity_topk_pq_rerank)
+
+
 # ------------------------------------------------ centroid statistics
 
 

@@ -1,0 +1,189 @@
+"""Round-13 additions.
+
+Covers
+- plans/curation.py::split_group_routed — leakage-proof cluster-routed
+  split: zero-straddle by construction, singleton routing identical to
+  split_train_val_test, migration (n_moved) non-vacuous, independent
+  python cross-check of the routing over the CC output.
+- plans/curation.py::mixture_token_budget — token-budget epoch
+  schedule: closed-form python contract, weight normalization bound,
+  epoch/residual identity.
+- plans/vector.py::similarity_topk_pq_rerank / similarity_pq_recall —
+  product-quantization ANN: plan shape (no non-broadcast cartesian),
+  shortlist discipline, recall-contract sanity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ split_group_routed
+
+
+def test_split_group_routed_zero_leakage_and_movement(spark, sf_dir):
+    from eye_of_sauron_spark.plans.curation import split_group_routed
+
+    rows = split_group_routed(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # the whole point: routing by group key cannot straddle
+    assert all(r["leaking_components"] == 0 for r in rows)
+    # non-vacuous: clusters exist and at least one doc actually moved
+    # relative to per-doc routing (otherwise the fixture can't tell
+    # group routing from per-doc routing at all)
+    assert sum(r["n_clustered"] for r in rows) > 0
+    assert sum(r["n_moved"] for r in rows) > 0
+    # only clustered docs may move
+    for r in rows:
+        assert r["n_moved"] <= r["n_clustered"]
+
+
+def test_split_group_routed_python_crosscheck(spark, sf_dir):
+    """Independent routing of the CC output in plain python must
+    reproduce the per-split doc/moved counts (the split_leakage_neardup
+    cross-check discipline, applied to the remedy)."""
+    import hashlib
+
+    from eye_of_sauron_spark.plans.curation import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+        split_group_routed,
+    )
+    from eye_of_sauron_spark.plans.dedup import dedup_cluster_components
+    from eye_of_sauron_spark.sources import load_table
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+
+    def route(key: int) -> str:
+        h = hashlib.md5(f"split:{key}".encode()).hexdigest()
+        b = int(h[:8], 16) % 100
+        if b < _TRAIN_PCT:
+            return "train"
+        if b < _TRAIN_PCT + _VAL_PCT:
+            return "val"
+        return "test"
+
+    exp_docs: dict[str, int] = {"train": 0, "val": 0, "test": 0}
+    exp_moved: dict[str, int] = {"train": 0, "val": 0, "test": 0}
+    for d in docs:
+        gk = comp.get(d, d)
+        s = route(gk)
+        exp_docs[s] += 1
+        if s != route(d):
+            exp_moved[s] += 1
+
+    rows = {r["split"]: r for r in split_group_routed(spark, sf_dir).collect()}
+    for s in ("train", "val", "test"):
+        assert rows[s]["n_docs"] == exp_docs[s]
+        assert rows[s]["n_moved"] == exp_moved[s]
+
+
+# ----------------------------------------------- mixture_token_budget
+
+
+def test_mixture_token_budget_contract(spark, sf_dir):
+    """Closed-form python arithmetic over per-source token counts must
+    reproduce the schedule exactly (the quality_classifier_score
+    contract discipline)."""
+    from eye_of_sauron_spark.functions.text import tokens_spark
+    from eye_of_sauron_spark.plans.curation import (
+        _BUDGET_TOKENS,
+        mixture_token_budget,
+    )
+    from eye_of_sauron_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(tokens_spark(F.col("text")))).alias("t"))
+        .collect()
+    }
+    sqrtm = {s: math.floor(math.sqrt(t) * 1000000) for s, t in avail.items()}
+    sq_total = sum(sqrtm.values())
+    rows = {r["source"]: r for r in mixture_token_budget(spark, sf_dir).collect()}
+    assert set(rows) == set(avail)
+    assert sum(r["weight_ppm"] for r in rows.values()) <= 1000000
+    for s, r in rows.items():
+        w = (sqrtm[s] * 1000000) // sq_total
+        target = (_BUDGET_TOKENS * w) // 1000000
+        assert r["avail_tokens"] == avail[s]
+        assert r["weight_ppm"] == w
+        assert r["target_tokens"] == target
+        assert r["epochs"] == target // avail[s]
+        assert r["residual_ppm"] == ((target % avail[s]) * 1000000) // avail[s]
+        # identity: epochs * avail + residual_ppm * avail / 1e6
+        # reconstructs the target to integer truncation
+        recon = r["epochs"] * avail[s] + (r["residual_ppm"] * avail[s]) // 1000000
+        assert 0 <= target - recon < avail[s]
+    # the fixture budget must exercise the epoch arm somewhere,
+    # otherwise the schedule degenerates to plain sampling
+    assert any(r["epochs"] >= 1 for r in rows.values())
+
+
+# ------------------------------------------------------ PQ + re-rank
+
+
+def test_pq_plan_no_unbroadcast_cartesian(spark, sf_dir):
+    """Stage 1 is broadcast-queries x encoded scan; stage 2 is a
+    broadcast of the shortlist against the corpus. Nothing in the plan
+    may be a non-broadcast cartesian/BNLJ — at 100 TB that would be a
+    corpus x corpus catastrophe."""
+    from eye_of_sauron_spark.plans.vector import similarity_topk_pq_rerank
+
+    plan = similarity_topk_pq_rerank(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line
+
+
+def test_pq_shortlist_and_output_shape(spark, sf_dir):
+    from eye_of_sauron_spark.plans.vector import (
+        _PQ_TOPK,
+        similarity_topk_pq_rerank,
+    )
+
+    rows = similarity_topk_pq_rerank(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert len(rs) <= _PQ_TOPK
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        # exact-ranked: cosine must be non-increasing with rank
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["cosine"] >= b["cosine"]
+        # no self-matches
+        assert all(r["cand_id"] != qid for r in rs)
+
+
+def test_pq_recall_contract_sane(spark, sf_dir):
+    """Recall rows cover every query, values in [0,1], and the path is
+    non-vacuous (some true neighbors ARE found despite the isotropic
+    worst-case fixture)."""
+    from eye_of_sauron_spark.plans.vector import (
+        _QUERY_FILTER,
+        similarity_pq_recall,
+    )
+    from eye_of_sauron_spark.sources import load_table
+
+    n_queries = (
+        load_table(spark, sf_dir, "embeddings").filter(F.expr(_QUERY_FILTER)).count()
+    )
+    rows = similarity_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == n_queries
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert sum(r["n_hits"] for r in rows) > 0
