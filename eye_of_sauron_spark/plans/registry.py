@@ -40,92 +40,97 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r12 rotation (50 entries = the driver's exact per-round
-    # budget, measured: every CORRECTNESS_r02..r11 file holds exactly
-    # 50 rows) ---
-    # 1) the 5 r11 deferrals — the only rows whose latest driver
-    # evidence is r08 (VERDICT r11 item 1): these lead
-    # unconditionally.
-    "cube_quantity",
-    "json_map_explode",
-    "setop_union_nations",
-    "setop_intersect_nations",
-    "topk_orders_by_price",
-    # 2) NEW this round (VERDICT r11 items 4+5), registered +
-    # oracle-certified at three scales + pytest-pinned + benched
-    # BEFORE the round's final verification pass (the r09 process
-    # rule): the MinHash-LSH recall contract and the A1 smart-mode
-    # change-detector replay.
-    "dedup_minhash_recall",
-    "stream_change_detect_replay",
-    # 3) 43 of the 50 queries whose latest driver row is r09 (they
-    # turn 3 rounds old after r12). The 7 deferrals below lead r13.
-    "anomaly_zscore_events",
-    "cdc_latest_snapshot",
-    "cohort_retention_orders",
-    "curation_pipeline_e2e",
-    "dataset_diff_snapshots",
-    "decontam_source_overlap_matrix",
-    "dedup_cluster_components",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_incremental_corpus",
-    "dedup_minhash_lsh",
-    "dedup_span_coverage",
-    "event_sequence_trigrams",
-    "graph_triangle_census",
-    "histogram_equi_depth_value",
-    "join_salted_skew",
-    "market_basket_part_pairs",
-    "mixture_temperature_sample",
-    "pca_power_iteration",
-    "profile_events_columns",
-    "range_join_time_buckets",
-    "scd2_merge_customers",
-    "similarity_ivf_recall",
-    "similarity_lsh_recall",
-    "similarity_sq8_recall",
-    "sketch_quantiles_value",
-    "skyline_pareto_orders",
-    "stream_cdc_apply_replay",
-    "stream_funnel_bucketed_replay",
-    "stream_late_drop_replay",
-    "stream_left_join_replay",
-    "stream_rebroadcast_replay",
-    "stream_restart_replay",
-    "stream_session_replay",
-    "stream_update_mode_replay",
-    "stream_window_replay",
-    "text_bigram_lm",
-    "text_lm_score",
-    "textrank_keywords",
-    "timeseries_gap_fill",
-    "validate_events_expectations",
-    "window_percent_rank_acctbal",
-    "winsorize_values_by_type",
-    # --- deferred to r13 (the 2 new queries above displaced exactly
-    # 2 slots; 7 r09 rows wait): each deferral is the
-    # lowest-information sibling of a family member that IS in the
-    # rotation — shared plan/oracle machinery, hash-green r09,
-    # re-greened locally in every pytest run
-    # (tests/test_queries_oracle.py):
-    #   dedup_ngram_jaccard (its result set + oracle are nested
-    #     verbatim inside the NEW dedup_minhash_recall's ground-truth
-    #     side, so every r12 driver run re-verifies it implicitly),
-    #   similarity_topk_lsh, similarity_topk_sq8_rerank (their full
-    #     ANN oracles ride inside similarity_{lsh,sq8}_recall's CTEs,
-    #     both in rotation),
-    #   dedup_span_rewrite (sibling of dedup_span_coverage — same
-    #     (lang,span) window + island machinery; rewrite adds only
-    #     the narrow positional cut),
-    #   stream_funnel_replay (same oracle as
-    #     stream_funnel_bucketed_replay, which is in rotation and is
-    #     the scale path),
-    #   timeseries_ohlc_resample (sibling of timeseries_gap_fill,
-    #     shared time-bucketing helpers),
-    #   text_char_diversity (sibling of the in-rotation
-    #     text_bigram_lm/text_lm_score fixed-point textual family).
-    # They lead the r13 rotation.
+    # --- r13 rotation (50 entries = the driver's measured per-round
+    # budget) ---
+    # 1) the 7 r12 deferrals — the only rows whose latest driver
+    # evidence is r09 (deferral rationale recorded in the r12
+    # rotation comment: each was the lowest-information sibling of an
+    # in-rotation family member). They lead unconditionally.
+    "dedup_ngram_jaccard",
+    "similarity_topk_lsh",
+    "similarity_topk_sq8_rerank",
+    "dedup_span_rewrite",
+    "stream_funnel_replay",
+    "timeseries_ohlc_resample",
+    "text_char_diversity",
+    # 2) NEW this round, registered + oracle-certified at three
+    # scales + pytest-pinned BEFORE the round's final verification
+    # pass (the r09 process rule): the leakage-proof group-routed
+    # split, the token-budget epoch scheduler, and the PQ ANN tier
+    # with its recall contract.
+    "split_group_routed",
+    "mixture_token_budget",
+    "similarity_topk_pq_rerank",
+    "similarity_pq_recall",
+    # 3) 39 of the 50 queries whose latest driver row is r10 (they
+    # turn 3 rounds old after r13). The 11 deferrals below lead r14.
+    "anti_join_silent_customers",
+    "compact_small_files",
+    "correlated_subquery_above_avg",
+    "csv_roundtrip_ingest",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_substring_spans",
+    "deterministic_sample_documents",
+    "doc_fingerprint",
+    "embedding_centroid_stats",
+    "embedding_int8_quantize",
+    "flagship_purchases_by_nation",
+    "funnel_view_click_purchase",
+    "grouped_map_session_stats",
+    "heavy_hitters_users",
+    "join_bucketed_colocated",
+    "join_revenue_by_priority",
+    "kafka_decode_replay",
+    "kmeans_lloyd_step",
+    "mixture_cap_per_source",
+    "ml_match_first_target",
+    "multimodal_image_stats",
+    "outer_join_order_count_histogram",
+    "pricing_summary",
+    "quality_filter_pipeline",
+    "routed_sink_pruned_read",
+    "sample_weighted_reservoir",
+    "schema_evolution_ingest",
+    "search_bm25_topk",
+    "semi_join_active_customers",
+    "sketch_countmin_freq",
+    "stream_observe_metrics_replay",
+    "stream_reorder_overflow_replay",
+    "stream_session_window",
+    "text_chunking",
+    "text_pii_scrub",
+    "window_first_match_semantics",
+    "window_time_range_rolling",
+    "zorder_cluster_events",
+    # --- deferred to r14 (the 4 new queries above displaced exactly
+    # 4 slots; 11 r10 rows wait): each deferral is the
+    # lowest-information sibling of a family member that IS in this
+    # rotation (or whose driver evidence is r12-fresh) — shared
+    # plan/oracle machinery, hash-green r10, re-greened locally in
+    # every pytest run (tests/test_queries_oracle.py):
+    #   window_lag_event_gaps, window_lead_transitions,
+    #   window_moving_avg, window_ntile_spend_quartiles,
+    #   window_rank_customers (plans/window.py siblings of the
+    #     in-rotation window_first_match_semantics and
+    #     window_time_range_rolling — same window machinery, these
+    #     five are its simplest single-frame members),
+    #   stream_tumbling_window, stream_sliding_window (batch-mode
+    #     oracle rows whose STREAMING semantics are driver-checked by
+    #     the r12-fresh stream_window_replay/stream_update_mode_replay
+    #     and the in-rotation stream_session_window anchors the
+    #     batch family),
+    #   dedup_exact_keep_first (operator form of the in-rotation
+    #     dedup_exact — same hash-groupBy plan, adds one arg_min),
+    #   multimodal_frame_sample (its sampling plumbing runs inside
+    #     the r11-fresh multimodal_frame_features; in-rotation
+    #     multimodal_image_stats anchors the decode family),
+    #   sql_revenue_top_nations (raw-SQL surface computing the same
+    #     result family as the in-rotation join_revenue_by_priority),
+    #   jsonl_roundtrip_ingest (sibling of the in-rotation
+    #     csv_roundtrip_ingest — shared roundtrip machinery in
+    #     sources/, only the codec differs).
+    # They lead the r14 rotation.
 )
 
 
