@@ -1064,8 +1064,14 @@ def split_group_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _route(F.col("gk")).alias("gsplit"),
         _route(F.col("doc_id")).alias("osplit"),
     )
+    # the re-audit needs only the (tiny, checkpointed) component
+    # relation — clustered docs' group key IS their component and the
+    # route is a function of it, so auditing comps directly is
+    # row-for-row the oracle's "labeled WHERE clustered" set WITHOUT
+    # dragging a second corpus scan + join through the audit branch
     audit = (
-        labeled.filter("clustered")
+        comps.select(F.col("component").alias("gk"),
+                     _route(F.col("component")).alias("gsplit"))
         .groupBy("gk")
         .agg(F.countDistinct("gsplit").alias("ns"))
         .filter(F.col("ns") >= 2)
