@@ -56,14 +56,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # 2) NEW this round, registered + oracle-certified at three
     # scales + pytest-pinned BEFORE the round's final verification
     # pass (the r09 process rule): the leakage-proof group-routed
-    # split, the token-budget epoch scheduler, and the PQ ANN tier
-    # with its recall contract.
+    # split, the token-budget epoch scheduler, the PQ ANN tier with
+    # its recall contract, and the nested-type ORC ingest.
     "split_group_routed",
     "mixture_token_budget",
     "similarity_topk_pq_rerank",
     "similarity_pq_recall",
-    # 3) 39 of the 50 queries whose latest driver row is r10 (they
-    # turn 3 rounds old after r13). The 11 deferrals below lead r14.
+    "orc_roundtrip_ingest",
+    # 3) 38 of the 50 queries whose latest driver row is r10 (they
+    # turn 3 rounds old after r13). The 12 deferrals below lead r14.
     "anti_join_silent_customers",
     "compact_small_files",
     "correlated_subquery_above_avg",
@@ -71,7 +72,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "dedup_exact",
     "dedup_substring_spans",
-    "deterministic_sample_documents",
     "doc_fingerprint",
     "embedding_centroid_stats",
     "embedding_int8_quantize",
@@ -103,8 +103,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "window_first_match_semantics",
     "window_time_range_rolling",
     "zorder_cluster_events",
-    # --- deferred to r14 (the 4 new queries above displaced exactly
-    # 4 slots; 11 r10 rows wait): each deferral is the
+    # --- deferred to r14 (the 5 new queries above displaced exactly
+    # 5 slots; 12 r10 rows wait): each deferral is the
     # lowest-information sibling of a family member that IS in this
     # rotation (or whose driver evidence is r12-fresh) — shared
     # plan/oracle machinery, hash-green r10, re-greened locally in
@@ -129,7 +129,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     result family as the in-rotation join_revenue_by_priority),
     #   jsonl_roundtrip_ingest (sibling of the in-rotation
     #     csv_roundtrip_ingest — shared roundtrip machinery in
-    #     sources/, only the codec differs).
+    #     sources/, only the codec differs),
+    #   deterministic_sample_documents (its md5-bucket routing is the
+    #     identical hashing/gating machinery the in-rotation
+    #     split_group_routed and mixture gates exercise; the sampling
+    #     family's weighted member sample_weighted_reservoir is also
+    #     in rotation).
     # They lead the r14 rotation.
 )
 

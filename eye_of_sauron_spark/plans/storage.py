@@ -550,3 +550,74 @@ def routed_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------- ORC ingest
+
+_ORC_ORACLE = """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT)))) AS BIGINT) AS checksum_micro,
+           CAST(min(len(embedding)) AS INT) AS min_dims,
+           CAST(max(len(embedding)) AS INT) AS max_dims,
+           min(vec_id) AS min_vec,
+           max(vec_id) AS max_vec
+    FROM embeddings
+    GROUP BY label
+"""
+
+
+@query("orc_roundtrip_ingest", oracle=_ORC_ORACLE)
+def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest path — the second columnar wire format a lakehouse
+    meets (Hive-era warehouses hand off ORC exactly where web dumps
+    hand off JSONL). The differentiator vs the CSV/JSONL round-trips:
+    NESTED types. The embeddings table's array<float> column — which
+    a flat text format cannot carry at all — is written to real ORC
+    files and read back, and a per-label fixed-point checksum over
+    every element (floor(v * 1e6 + 0.5) summed as BIGINT — floats are
+    EXACT through any lossless format, so this is bit-fidelity, not
+    tolerance) must match the parquet-derived oracle, along with the
+    dimension and id range audits.
+
+    Scale shape: one write + one scan + one per-label all-partial
+    aggregate; the checksum is a narrow per-row fold. ORC brings the
+    same pushdown/pruning contract as parquet (predicate pushdown,
+    column projection, stripe-level min/max), so the choice between
+    them at 100 TB is ecosystem, not plan shape — this query proves
+    the ingest boundary is lossless so the rest of the engine can
+    stay format-agnostic. Reference analog: the JSON wire codec
+    (src/utils.py:248-264) — the batch-columnar counterpart of that
+    serialization boundary, driver-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="orc_ingest_")
+    try:
+        emb.write.mode("overwrite").orc(f"{work}/embeddings")
+        back = spark.read.orc(f"{work}/embeddings")
+        checksum = F.aggregate(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        out = (
+            back.groupBy("label")
+            .agg(
+                F.count("*").cast("bigint").alias("n_vecs"),
+                F.sum(checksum).cast("bigint").alias("checksum_micro"),
+                F.min(F.size("embedding")).cast("int").alias("min_dims"),
+                F.max(F.size("embedding")).cast("int").alias("max_dims"),
+                F.min("vec_id").alias("min_vec"),
+                F.max("vec_id").alias("max_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -187,3 +187,25 @@ def test_pq_recall_contract_sane(spark, sf_dir):
     assert len(rows) == n_queries
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert sum(r["n_hits"] for r in rows) > 0
+
+
+# ------------------------------------------------- ORC ingest path
+
+
+def test_orc_roundtrip_actually_writes_orc(spark, sf_dir, tmp_path):
+    """Non-vacuity for the format boundary: a silent fallback to
+    parquet would still pass the checksum oracle, so pin that Spark's
+    orc writer produces real .orc part files and the reader returns
+    the nested array column intact."""
+    from eye_of_sauron_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dest = str(tmp_path / "emb_orc")
+    emb.write.mode("overwrite").orc(dest)
+    import os
+
+    parts = [f for f in os.listdir(dest) if f.endswith(".orc")]
+    assert parts, os.listdir(dest)
+    back = spark.read.orc(dest)
+    assert dict(back.dtypes)["embedding"] == "array<float>"
+    assert back.count() == emb.count()
