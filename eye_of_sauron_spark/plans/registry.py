@@ -57,14 +57,16 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # scales + pytest-pinned BEFORE the round's final verification
     # pass (the r09 process rule): the leakage-proof group-routed
     # split, the token-budget epoch scheduler, the PQ ANN tier with
-    # its recall contract, and the nested-type ORC ingest.
+    # its recall contract, the nested-type ORC ingest, and the
+    # hard-negative miner.
     "split_group_routed",
     "mixture_token_budget",
     "similarity_topk_pq_rerank",
     "similarity_pq_recall",
     "orc_roundtrip_ingest",
-    # 3) 38 of the 50 queries whose latest driver row is r10 (they
-    # turn 3 rounds old after r13). The 12 deferrals below lead r14.
+    "mine_hard_negatives",
+    # 3) 37 of the 50 queries whose latest driver row is r10 (they
+    # turn 3 rounds old after r13). The 13 deferrals below lead r14.
     "anti_join_silent_customers",
     "compact_small_files",
     "correlated_subquery_above_avg",
@@ -102,9 +104,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_pii_scrub",
     "window_first_match_semantics",
     "window_time_range_rolling",
-    "zorder_cluster_events",
-    # --- deferred to r14 (the 5 new queries above displaced exactly
-    # 5 slots; 12 r10 rows wait): each deferral is the
+    # --- deferred to r14 (the 6 new queries above displaced exactly
+    # 6 slots; 13 r10 rows wait): each deferral is the
     # lowest-information sibling of a family member that IS in this
     # rotation (or whose driver evidence is r12-fresh) — shared
     # plan/oracle machinery, hash-green r10, re-greened locally in
@@ -134,7 +135,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     identical hashing/gating machinery the in-rotation
     #     split_group_routed and mixture gates exercise; the sampling
     #     family's weighted member sample_weighted_reservoir is also
-    #     in rotation).
+    #     in rotation),
+    #   zorder_cluster_events (physical-layout sibling of the
+    #     in-rotation compact_small_files — same write-then-audit
+    #     machinery; the pruned-READ path it exists for is driven by
+    #     the in-rotation routed_sink_pruned_read).
     # They lead the r14 rotation.
 )
 

@@ -936,6 +936,127 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_of(spark, sf_dir, similarity_topk_pq_rerank)
 
 
+# ------------------------------------------- hard-negative mining
+
+_HN_PLANES = 4  # 16 buckets — coarser than search LSH on purpose: the
+# miner WANTS many same-bucket semi-similar candidates per anchor
+_HN_DUP_CM = 900_000_000  # floor(cos * 1e9) at dedup's near-dup
+# threshold (plans/dedup.py::_COSINE_NEARDUP = 0.9, restated locally —
+# dedup imports this module, so importing back would cycle)
+
+_HN_ORACLE = f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               {hyperplane_sig_duck('embedding', range(_HN_PLANES))} AS sig
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(floor({cosine_duck('a.embedding', 'b.embedding')}
+                          * 1000000000) AS BIGINT) AS cm
+        FROM sigs a JOIN sigs b
+          ON a.sig = b.sig AND a.vec_id != b.vec_id
+    ),
+    neg AS (
+        SELECT va, vb, cm,
+               row_number() OVER (
+                   PARTITION BY va ORDER BY cm DESC, vb ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY va) AS n_candidates
+        FROM pairs WHERE cm < {_HN_DUP_CM}
+    )
+    SELECT va AS vec_id, vb AS neg_id, cm AS hard_cos_e9,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM neg WHERE rn = 1
+    """
+
+
+@query("mine_hard_negatives", oracle=_HN_ORACLE)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-generation step): for every anchor vector, the MOST similar
+    same-bucket neighbor that is NOT a near-duplicate — the highest
+    cosine strictly below dedup's 0.9 threshold, tie-broken to the
+    smallest neighbor id. Dedup wants these pairs gone; retrieval
+    training wants exactly these pairs as negatives, so the operator
+    is the constructive complement of dedup_embedding_cosine over the
+    same banded machinery.
+
+    Candidates come from 4 coarse hyperplane buckets (16 cells —
+    deliberately coarser than the 8-plane search LSH: the miner wants
+    MANY semi-similar candidates per anchor, and the per-bucket pair
+    quadratic is the documented banded trade with plane count as the
+    lever). Scores quantize to nano BIGINTs (floor(cos * 1e9)) BEFORE
+    any cross-row comparison, so the non-dup gate, the per-anchor
+    argmax, and the emitted score are all exact integer arithmetic —
+    bit-identical across engines.
+
+    Plan shape: ONE hash exchange on the bucket key reused by both
+    self-join sides (byte-identical subplans -> ReusedExchange, the
+    dedup_embedding_cosine convention); the cosine fold rides behind
+    an explode_outer Generate barrier so the equi join can't merge the
+    gate into its condition and double-evaluate the fold (the
+    decontam_semantic_embedding trap); then one partial-aggregating
+    max_by exchange on the anchor. Anchors whose bucket holds only
+    duplicates (or nothing) emit no row, matching the oracle. At
+    100 TB the bucket count scales with the corpus (more planes), the
+    per-bucket quadratic stays capped, and the output is O(corpus) —
+    one training pair per anchor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    sigs = (
+        _spread(emb, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            hyperplane_sig_spark(F.col("embedding"), range(_HN_PLANES)).alias("sig"),
+        )
+        # ONE exchange on the bucket key; both self-join sides are
+        # byte-identical up to it -> ReusedExchange
+        .repartition(n, "sig")
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("sig").alias("sa"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("sig").alias("sb"),
+    )
+    cm = F.floor(cosine_spark(F.col("ea"), F.col("eb")) * 1000000000).cast(
+        "bigint"
+    )
+    # 0-or-1-element thresholded array behind a Generate barrier — a
+    # plain filter on a projected cm would merge into the join
+    # condition and re-evaluate the cosine fold per candidate pair
+    hit = F.filter(
+        F.array(F.struct(cm.alias("cm"))), lambda c: c["cm"] < _HN_DUP_CM
+    )
+    negs = (
+        a.join(b, (a.sa == b.sb) & (a.va != b.vb))
+        .select("va", "vb", F.explode_outer(hit).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select("va", "vb", F.col("h.cm").alias("cm"))
+    )
+    return (
+        negs.groupBy("va")
+        .agg(
+            F.max_by(
+                F.struct("vb", "cm"),
+                # max over (cm asc, vb desc) == argmax cm, tie -> min vb
+                F.struct(F.col("cm").alias("c"), (-F.col("vb")).alias("nv")),
+            ).alias("m"),
+            F.count("*").cast("bigint").alias("n_candidates"),
+        )
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("m.vb").alias("neg_id"),
+            F.col("m.cm").alias("hard_cos_e9"),
+            "n_candidates",
+        )
+    )
+
+
 # ------------------------------------------------ centroid statistics
 
 

@@ -209,3 +209,110 @@ def test_orc_roundtrip_actually_writes_orc(spark, sf_dir, tmp_path):
     back = spark.read.orc(dest)
     assert dict(back.dtypes)["embedding"] == "array<float>"
     assert back.count() == emb.count()
+
+
+# ------------------------------------------- hard-negative mining
+
+
+class _static_plan:
+    """Disable AQE + auto-broadcast so the executed plan finalizes
+    statically (ReusedExchange/SortMergeJoin visible without running
+    the query) — the test_round11_ops._no_broadcast convention."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.thr = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.thr)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.aqe)
+
+
+def test_hard_negatives_plan_and_contract(spark, sf_dir):
+    """ReusedExchange on the bucket self-join (signatures computed
+    once), cosine fold behind the Generate barrier, and the mined
+    pairs honor the non-dup gate and tie rule."""
+    from eye_of_sauron_spark.plans.vector import _HN_DUP_CM, mine_hard_negatives
+
+    with _static_plan(spark):
+        df = mine_hard_negatives(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "bucket signatures computed twice"
+    assert "CartesianProduct" not in plan
+    smj = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    assert "aggregate(" not in smj and "zip_with" not in smj, (
+        "cosine fold leaked into the join condition"
+    )
+    assert plan.count("Generate explode") == 1
+
+    rows = mine_hard_negatives(spark, sf_dir).collect()
+    assert rows, "no hard negatives mined on the fixture"
+    assert all(r["hard_cos_e9"] < _HN_DUP_CM for r in rows)
+    assert all(r["neg_id"] != r["vec_id"] for r in rows)
+    assert all(r["n_candidates"] >= 1 for r in rows)
+    # one row per anchor
+    anchors = [r["vec_id"] for r in rows]
+    assert len(anchors) == len(set(anchors))
+
+
+def test_hard_negatives_is_bucketwise_argmax(spark, sf_dir):
+    """Brute-force recompute within buckets in python: for a sample of
+    anchors the mined negative must be the max-cosine non-dup
+    bucket-mate with the min-id tie rule."""
+    import numpy as np
+
+    from eye_of_sauron_spark.plans.vector import (
+        _HN_DUP_CM,
+        _HN_PLANES,
+        _plane,
+        mine_hard_negatives,
+    )
+    from eye_of_sauron_spark.sources import load_table
+
+    emb_rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_rows}
+    planes = [np.array(_plane(p), dtype=np.float64) for p in range(_HN_PLANES)]
+
+    def sig(v):
+        s = 0
+        for i, pl in enumerate(planes):
+            # mirror dot_spark's sequential fold order
+            acc = 0.0
+            for x, y in zip(v, pl):
+                acc += float(x) * float(y)
+            if acc > 0:
+                s += 2 ** i
+        return s
+
+    buckets: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        buckets.setdefault(sig(v), []).append(vid)
+
+    mined = {r["vec_id"]: r for r in mine_hard_negatives(spark, sf_dir).collect()}
+    checked = 0
+    for vid in sorted(vecs)[:25]:
+        mates = [m for m in buckets[sig(vecs[vid])] if m != vid]
+        best = None
+        n_cand = 0
+        for m in mates:
+            a, b = vecs[vid], vecs[m]
+            cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            cmv = math.floor(cos * 1_000_000_000)
+            if cmv >= _HN_DUP_CM:
+                continue
+            n_cand += 1
+            if best is None or (cmv, -m) > (best[1], -best[0]):
+                best = (m, cmv)
+        if best is None:
+            assert vid not in mined
+        else:
+            r = mined[vid]
+            assert (r["neg_id"], r["hard_cos_e9"]) == best, vid
+            assert r["n_candidates"] == n_cand
+            checked += 1
+    assert checked > 0
