@@ -1003,13 +1003,23 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket quadratic stays capped, and the output is O(corpus) —
     one training pair per anchor."""
     emb = _t(spark, sf_dir, "embeddings")
+    return _mine_hard_negatives(spark, emb, _HN_PLANES)
+
+
+def _mine_hard_negatives(
+    spark: SparkSession, emb: DataFrame, n_planes: int
+) -> DataFrame:
+    """The mining core over an arbitrary (vec_id, embedding) relation
+    with a parameterized plane count — split out so the 10x probe can
+    scale the bucket count with the corpus (the production lever)
+    without touching the registered query's fixed-plane contract."""
     n = spark.sparkContext.defaultParallelism
     sigs = (
         _spread(emb, "vec_id")
         .select(
             "vec_id",
             "embedding",
-            hyperplane_sig_spark(F.col("embedding"), range(_HN_PLANES)).alias("sig"),
+            hyperplane_sig_spark(F.col("embedding"), range(n_planes)).alias("sig"),
         )
         # ONE exchange on the bucket key; both self-join sides are
         # byte-identical up to it -> ReusedExchange
