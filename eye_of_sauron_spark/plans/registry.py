@@ -65,8 +65,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "similarity_pq_recall",
     "orc_roundtrip_ingest",
     "mine_hard_negatives",
-    # 3) 37 of the 50 queries whose latest driver row is r10 (they
-    # turn 3 rounds old after r13). The 13 deferrals below lead r14.
+    "similarity_topk_mrl_rerank",
+    "similarity_mrl_recall",
+    # 3) 35 of the 50 queries whose latest driver row is r10 (they
+    # turn 3 rounds old after r13). The 15 deferrals below lead r14.
     "anti_join_silent_customers",
     "compact_small_files",
     "correlated_subquery_above_avg",
@@ -78,7 +80,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_centroid_stats",
     "embedding_int8_quantize",
     "flagship_purchases_by_nation",
-    "funnel_view_click_purchase",
     "grouped_map_session_stats",
     "heavy_hitters_users",
     "join_bucketed_colocated",
@@ -95,7 +96,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sample_weighted_reservoir",
     "schema_evolution_ingest",
     "search_bm25_topk",
-    "semi_join_active_customers",
     "sketch_countmin_freq",
     "stream_observe_metrics_replay",
     "stream_reorder_overflow_replay",
@@ -104,8 +104,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_pii_scrub",
     "window_first_match_semantics",
     "window_time_range_rolling",
-    # --- deferred to r14 (the 6 new queries above displaced exactly
-    # 6 slots; 13 r10 rows wait): each deferral is the
+    # --- deferred to r14 (the 8 new queries above displaced exactly
+    # 8 slots; 15 r10 rows wait): each deferral is the
     # lowest-information sibling of a family member that IS in this
     # rotation (or whose driver evidence is r12-fresh) — shared
     # plan/oracle machinery, hash-green r10, re-greened locally in
@@ -139,7 +139,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #   zorder_cluster_events (physical-layout sibling of the
     #     in-rotation compact_small_files — same write-then-audit
     #     machinery; the pruned-READ path it exists for is driven by
-    #     the in-rotation routed_sink_pruned_read).
+    #     the in-rotation routed_sink_pruned_read),
+    #   funnel_view_click_purchase (batch member of the funnel family
+    #     whose chained-window reach oracle is the SAME one the
+    #     in-rotation stream_funnel_replay is checked against),
+    #   semi_join_active_customers (plan-family sibling of the
+    #     in-rotation anti_join_silent_customers — identical keys and
+    #     machinery, anti is the stricter null-handling member).
     # They lead the r14 rotation.
 )
 

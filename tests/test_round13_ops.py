@@ -316,3 +316,33 @@ def test_hard_negatives_is_bucketwise_argmax(spark, sf_dir):
             assert r["n_candidates"] == n_cand
             checked += 1
     assert checked > 0
+
+
+# -------------------------------------- MRL truncation re-rank tier
+
+
+def test_mrl_recall_between_prefix_information_bounds(spark, sf_dir):
+    """Prefix truncation keeps HALF the dims of isotropic vectors, so
+    recall must land clearly above the PQ tier's (8-byte codes) and
+    the path must be non-vacuous; shortlist/output discipline mirrors
+    the SQ8 shape."""
+    from eye_of_sauron_spark.plans.vector import (
+        _MRL_TOPK,
+        similarity_mrl_recall,
+        similarity_topk_mrl_rerank,
+    )
+
+    rows = similarity_topk_mrl_rerank(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert len(rs) <= _MRL_TOPK
+        assert all(r["cand_id"] != qid for r in rs)
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["cosine"] >= b["cosine"]
+
+    rec = similarity_mrl_recall(spark, sf_dir).collect()
+    assert rec and all(0.0 <= r["recall"] <= 1.0 for r in rec)
+    assert sum(r["n_hits"] for r in rec) > 0
