@@ -1146,15 +1146,13 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule), derived deterministically so every engine and every
     re-run schedules identically.
 
-    Integer ranges: sqrtm = floor(sqrt(tokens))*1e6 <= 5.5e15 at
-    100 TB-of-text scale (3e19 tokens would overflow first — far past
-    any corpus); sqrtm*1e6 <= 5.5e21 EXCEEDS int64, so the normalizer
-    divides FIRST via (sqrtm * 1e6) div sq_total only when sq_total
-    >= sqrtm — which always holds (the sum includes the term), so
-    weight_ppm <= 1e6 and every later product is <= 1e12. The one
-    structural overflow risk (sqrtm * 1e6 before the div) is real at
-    ~3e6 sources x petabyte sources; the docstring pins the bound so
-    the check is explicit.
+    Integer ranges: sqrtm = floor(sqrt(tokens) * 1e6), so the widest
+    intermediate, sqrtm * 1e6, stays below the int64 bound until a
+    SINGLE source exceeds ~8.5e13 tokens ((9.22e18 / 1e12)^2) — about
+    3x the token count of an entire 100 TB text corpus, so the
+    schedule is safe at the design scale with the bound pinned here
+    explicitly. After the division weight_ppm <= 1e6 (the normalizer
+    sum includes its own term), so every later product is <= 1e12.
 
     Scale shape: ONE per-source aggregate over the scan (token counts
     are a narrow map — at 100 TB this rides any existing pass), a
