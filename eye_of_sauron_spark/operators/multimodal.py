@@ -366,3 +366,155 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas every-3rd-frame sampling, checksums re-derived by the
     oracle in closed form."""
     return sample_frames(build_videos(load_table(spark, sf_dir, "events")))
+
+
+# ----------------------------------------------- audio (PCM16 AUD1)
+
+_AUD_MAGIC = b"AUD1"
+_AUD_RATE = 16000
+_AUD_WIN = 16
+_AUD_STRIDE = 8
+# varied lengths NOT divisible by the stride, so remainder windows
+# (short final segments) are exercised: 21, 30, 39, 48, 57 samples
+_AUD_N_EXPR = "21 + (doc_id % 5) * 9"
+
+
+def _aud_sample(doc_id: Column, i: Column) -> Column:
+    """Deterministic int16 sample s(doc, i) — the hyperplane-family
+    quadratic, shifted to [-32768, 32767]. Used by the ENCODER only;
+    the decoder parses bytes, the oracle recomputes the closed form,
+    so an encode/decode asymmetry fails the hash."""
+    q = doc_id * 31 + i * 17 + (doc_id + i) * (doc_id + i) * 7
+    return (q % 65536) - 32768
+
+
+def encode_audio(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, audio BinaryType). The AUD1 container is
+    assembled entirely with JVM expressions: magic, big-endian 2-byte
+    sample_rate / channels / n_samples header, then n_samples
+    LITTLE-endian signed 16-bit PCM samples (the wire layout of WAV
+    data chunks) — the whole payload rendered as one hex string and
+    unhex'd once, so encode stays inside WholeStageCodegen."""
+    n = F.expr(_AUD_N_EXPR).cast("int")
+    doc_id = F.col("doc_id")
+
+    def le16(u: Column) -> Column:  # unsigned 0..65535 -> LE hex chars
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("bigint")), 2, "0"),
+        )
+
+    idx = F.sequence(F.lit(0), n - 1)
+    # two's-complement 16-bit wire value: pmod, NOT s + 32768 —
+    # offset-binary would decode shifted under struct's signed "<h"
+    payload_hex = F.array_join(
+        F.transform(idx, lambda i: le16(F.pmod(_aud_sample(doc_id, i), 65536))),
+        "",
+    )
+    audio = F.concat(
+        F.lit(_AUD_MAGIC),
+        _be16(F.lit(_AUD_RATE)),
+        _be16(F.lit(1)),
+        _be16(n),
+        F.unhex(payload_hex),
+    )
+    return docs.select("doc_id", audio.alias("audio"))
+
+
+def audio_windows(audio: DataFrame) -> DataFrame:
+    """Fixed-size sliding windows over decoded PCM — the audio analog
+    of frame sampling: parse the AUD1 header, reinterpret the payload
+    as little-endian int16 (EXACT byte reinterpretation — this decode
+    path is real, not a stub: PCM needs no media library), emit one
+    row per window (size 16, stride 8, short remainder kept) with
+    integer energy stats. 1->N ``mapInPandas`` over Arrow batches."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                b = bytes(blob)
+                assert b[:4] == _AUD_MAGIC, "bad magic"
+                rate, ch, n = struct.unpack(">HHH", b[4:10])
+                samples = struct.unpack(f"<{n}h", b[10 : 10 + 2 * n])
+                n_w = max(0, -(-(n - _AUD_WIN) // _AUD_STRIDE)) + 1
+                for w in range(n_w):
+                    seg = samples[w * _AUD_STRIDE : w * _AUD_STRIDE + _AUD_WIN]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            rate,
+                            len(seg),
+                            sum(x * x for x in seg),
+                            max(abs(x) for x in seg),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "window_idx",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_sq",
+                    "peak",
+                ],
+            )
+
+    return audio.mapInPandas(
+        decode,
+        "doc_id long, window_idx int, sample_rate int, n_samples int, "
+        "sum_sq long, peak int",
+    )
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH spec AS (
+        SELECT doc_id, CAST({_AUD_N_EXPR} AS INT) AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, n, CAST(t.i AS INT) AS i,
+               CAST(((doc_id * 31 + t.i * 17
+                      + (doc_id + t.i) * (doc_id + t.i) * 7) % 65536)
+                    - 32768 AS BIGINT) AS s
+        FROM spec, unnest(range(0, n)) AS t(i)
+    ),
+    wins AS (
+        SELECT doc_id, CAST(w.w AS INT) AS window_idx, s
+        FROM samples,
+             unnest(range(0, CAST(ceil(greatest(n - {_AUD_WIN}, 0)
+                                       / {_AUD_STRIDE}.0) AS BIGINT) + 1))
+                 AS w(w)
+        WHERE i >= w.w * {_AUD_STRIDE}
+          AND i < w.w * {_AUD_STRIDE} + {_AUD_WIN}
+    )
+    SELECT doc_id, window_idx,
+           {_AUD_RATE} AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM wins GROUP BY doc_id, window_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing, round-trip checked: documents encode
+    to AUD1 PCM16 containers with JVM expressions (WAV-style header +
+    little-endian samples), then a 1->N mapInPandas pass parses the
+    REAL bytes — PCM decode is exact reinterpretation, so unlike the
+    image codec nothing here is feature-gated — and windows them
+    (size {_AUD_WIN}, stride {_AUD_STRIDE}, short remainders kept:
+    lengths are chosen indivisible by the stride) with integer
+    energy stats per window. The oracle re-derives every window from
+    the closed-form sample generator, so a header/endianness/window
+    arithmetic asymmetry anywhere in the chain fails the hash.
+
+    Scale shape: encode is codegen'd expression work, decode+window
+    is a narrow Arrow-batched map — no shuffle anywhere; at 100 TB
+    of audio this is the scan-side feature-extraction pass, exactly
+    like frame sampling for video (reference src/utils.py:24-28's
+    decode generalized to the audio lane). Sample-rate/channel
+    metadata ride the header like the IMG1 dims."""
+    return audio_windows(encode_audio(load_table(spark, sf_dir, "documents")))

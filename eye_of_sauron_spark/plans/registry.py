@@ -67,8 +67,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "mine_hard_negatives",
     "similarity_topk_mrl_rerank",
     "similarity_mrl_recall",
-    # 3) 35 of the 50 queries whose latest driver row is r10 (they
-    # turn 3 rounds old after r13). The 15 deferrals below lead r14.
+    "multimodal_audio_windows",
+    # 3) 34 of the 50 queries whose latest driver row is r10 (they
+    # turn 3 rounds old after r13). The 16 deferrals below lead r14.
     "anti_join_silent_customers",
     "compact_small_files",
     "correlated_subquery_above_avg",
@@ -81,7 +82,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_int8_quantize",
     "flagship_purchases_by_nation",
     "grouped_map_session_stats",
-    "heavy_hitters_users",
     "join_bucketed_colocated",
     "join_revenue_by_priority",
     "kafka_decode_replay",
@@ -104,8 +104,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_pii_scrub",
     "window_first_match_semantics",
     "window_time_range_rolling",
-    # --- deferred to r14 (the 8 new queries above displaced exactly
-    # 8 slots; 15 r10 rows wait): each deferral is the
+    # --- deferred to r14 (the 9 new queries above displaced exactly
+    # 9 slots; 16 r10 rows wait): each deferral is the
     # lowest-information sibling of a family member that IS in this
     # rotation (or whose driver evidence is r12-fresh) — shared
     # plan/oracle machinery, hash-green r10, re-greened locally in
@@ -145,7 +145,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     in-rotation stream_funnel_replay is checked against),
     #   semi_join_active_customers (plan-family sibling of the
     #     in-rotation anti_join_silent_customers — identical keys and
-    #     machinery, anti is the stricter null-handling member).
+    #     machinery, anti is the stricter null-handling member),
+    #   heavy_hitters_users (the exact heavy-hitter pass whose
+    #     top-N/count results ride VERBATIM inside the in-rotation
+    #     sketch_countmin_freq's exact CTEs — every countmin driver
+    #     run re-verifies it implicitly).
     # They lead the r14 rotation.
 )
 

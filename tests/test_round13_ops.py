@@ -346,3 +346,52 @@ def test_mrl_recall_between_prefix_information_bounds(spark, sf_dir):
     rec = similarity_mrl_recall(spark, sf_dir).collect()
     assert rec and all(0.0 <= r["recall"] <= 1.0 for r in rec)
     assert sum(r["n_hits"] for r in rec) > 0
+
+
+# --------------------------------------------- AUD1 audio windows
+
+
+def test_audio_windows_wire_format_and_remainders(spark, sf_dir):
+    """The decode path parses REAL bytes: cross-check one container
+    against python struct from first principles, and pin that the
+    fixture exercises short remainder windows (lengths are chosen
+    indivisible by the stride)."""
+    import struct as _struct
+
+    from eye_of_sauron_spark.operators.multimodal import (
+        _AUD_MAGIC,
+        _AUD_RATE,
+        _AUD_STRIDE,
+        _AUD_WIN,
+        encode_audio,
+        multimodal_audio_windows,
+    )
+    from eye_of_sauron_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = encode_audio(docs.orderBy("doc_id").limit(1)).collect()[0]
+    b = bytes(one["audio"])
+    assert b[:4] == _AUD_MAGIC
+    rate, ch, n = _struct.unpack(">HHH", b[4:10])
+    assert (rate, ch) == (_AUD_RATE, 1)
+    assert len(b) == 10 + 2 * n
+    samples = _struct.unpack(f"<{n}h", b[10:])
+    did = one["doc_id"]
+    for i, s in enumerate(samples):
+        q = did * 31 + i * 17 + (did + i) * (did + i) * 7
+        assert s == (q % 65536) - 32768, i
+
+    rows = multimodal_audio_windows(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r["n_samples"] <= _AUD_WIN for r in rows)
+    # remainder windows must exist AND be genuinely short
+    assert any(r["n_samples"] < _AUD_WIN for r in rows)
+    assert all(0 <= r["peak"] <= 32768 for r in rows)
+    # per-doc window count matches the chunking formula
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["window_idx"] + 1)
+    for did2, n_w in per_doc.items():
+        n2 = 21 + (did2 % 5) * 9
+        exp = max(0, -(-(n2 - _AUD_WIN) // _AUD_STRIDE)) + 1
+        assert n_w == exp, did2
