@@ -374,9 +374,10 @@ _AUD_MAGIC = b"AUD1"
 _AUD_RATE = 16000
 _AUD_WIN = 16
 _AUD_STRIDE = 8
-# varied lengths NOT divisible by the stride, so remainder windows
-# (short final segments) are exercised: 21, 30, 39, 48, 57 samples
-_AUD_N_EXPR = "21 + (doc_id % 5) * 9"
+# varied lengths where EVERY class leaves a short remainder window
+# (n - 16 indivisible by the stride for all five): 21, 31, 41, 51, 61
+# samples -> final windows of 13/15/9/11/13 samples
+_AUD_N_EXPR = "21 + (doc_id % 5) * 10"
 
 
 def _aud_sample(doc_id: Column, i: Column) -> Column:

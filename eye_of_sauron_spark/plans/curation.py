@@ -1018,11 +1018,19 @@ def split_group_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     them), never reshuffles the 99%+ singleton corpus.
 
     Emits one row per split with group/doc/char accounting plus the
-    closed-loop re-audit as a hashed column: ``leaking_components``
-    re-runs the straddle audit against the NEW routing and must be 0
-    (split is a function of the group key, so a nonzero value means
-    the routing or the component labels broke — the audit that found
-    real leaks under per-doc routing now proves their absence).
+    RULE-level re-audit as a hashed column: ``leaking_components``
+    re-runs the straddle audit over the component relation under the
+    group-key routing rule and must be 0 — it certifies the RULE
+    (split is a pure function of the group key; a future edit that
+    routes clustered docs by anything doc-dependent flips it
+    non-zero). It is deliberately computed from the component
+    relation, NOT from the corpus-joined output (that would cost a
+    second corpus pass — SCALE.md 'round 13'), so a regression in the
+    corpus JOIN itself is outside its reach; that class is caught
+    instead by the oracle hash over the accounting columns
+    (n_docs/n_moved/n_clustered all shift if the join or coalesce
+    breaks) and by the row-exact python routing cross-check in
+    tests/test_round13_ops.py.
 
     Scale shape: components come from the identical CC machinery as
     dedup_cluster_components (banded candidates, pointer-jumping
@@ -1121,8 +1129,10 @@ _BUDGET_TOKENS = 1_000_000
     sched AS (
         SELECT source, n_docs, avail_tokens,
                (sqrtm * 1000000) // sq_total AS weight_ppm,
-               ({_BUDGET_TOKENS} * ((sqrtm * 1000000) // sq_total))
-                   // 1000000 AS target_tokens
+               ((sqrtm * 1000000) // sq_total) * {_BUDGET_TOKENS // 1000000}
+                   + (((sqrtm * 1000000) // sq_total)
+                      * {_BUDGET_TOKENS % 1000000}) // 1000000
+                   AS target_tokens
         FROM weighted, tot
     )
     SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
@@ -1147,12 +1157,15 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run schedules identically.
 
     Integer ranges: sqrtm = floor(sqrt(tokens) * 1e6), so the widest
-    intermediate, sqrtm * 1e6, stays below the int64 bound until a
-    SINGLE source exceeds ~8.5e13 tokens ((9.22e18 / 1e12)^2) — about
-    3x the token count of an entire 100 TB text corpus, so the
-    schedule is safe at the design scale with the bound pinned here
-    explicitly. After the division weight_ppm <= 1e6 (the normalizer
-    sum includes its own term), so every later product is <= 1e12.
+    normalizer intermediate, sqrtm * 1e6, stays below the int64 bound
+    until a SINGLE source exceeds ~8.5e13 tokens ((9.22e18/1e12)^2) —
+    about 3x the token count of an entire 100 TB text corpus. After
+    the division weight_ppm <= 1e6 (the normalizer sum includes its
+    own term). The target split-multiplies the budget — w*(B div 1e6)
+    + (w*(B mod 1e6)) div 1e6, exactly equal to (B*w) div 1e6 — so
+    the budget KNOB itself is safe to any int64 B: the naive product
+    form would overflow at B > 9.2e12, below real LLM training
+    budgets (1e13+ tokens).
 
     Scale shape: ONE per-source aggregate over the scan (token counts
     are a narrow map — at 100 TB this rides any existing pass), a
@@ -1180,8 +1193,15 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "avail_tokens",
         F.expr("(sqrtm * 1000000) div sq_total").alias("weight_ppm"),
+        # (B * w) div 1e6 rearranged as w*(B div 1e6) + (w*(B mod 1e6))
+        # div 1e6 — EXACTLY equal for non-negative ints (the dropped
+        # term is an exact multiple of 1e6), but the widest
+        # intermediate falls from B*w (overflows int64 once B > 9.2e12
+        # — below real LLM budgets) to max(B, 1e12)
         F.expr(
-            f"({_BUDGET_TOKENS} * ((sqrtm * 1000000) div sq_total)) div 1000000"
+            f"((sqrtm * 1000000) div sq_total) * {_BUDGET_TOKENS // 1000000}"
+            f" + (((sqrtm * 1000000) div sq_total)"
+            f" * {_BUDGET_TOKENS % 1000000}) div 1000000"
         ).alias("target_tokens"),
     )
     return sched.select(

@@ -817,9 +817,10 @@ def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector vs SQ8's 64 and fp32's 256. Stage 1 scores every query
     against the RECONSTRUCTED candidates (asymmetric distance
     computation: exact query x decoded candidate — cosine over the
-    concatenated nearest-codeword subvectors) and keeps a top-8
-    shortlist; stage 2 fetches ONLY the shortlist's full-precision
-    rows and re-ranks with exact cosine, emitting the top-3.
+    concatenated nearest-codeword subvectors) and keeps a top-32
+    shortlist (depth measured against recall — see _PQ_RERANK_M);
+    stage 2 fetches ONLY the shortlist's full-precision rows and
+    re-ranks with exact cosine, emitting the top-3.
 
     Determinism: codeword assignment quantizes each subspace distance
     to micro BIGINTs with the (dm, seed_id) tie rule
@@ -836,7 +837,7 @@ def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into the scan. Stage 1 is broadcast-queries x a scan that
     at production width reads 8-byte codes, not embeddings — the
     32x IO cut is the operator's reason to exist; stage 2 re-joins
-    the O(queries x 8) shortlist (broadcast) against the corpus for
+    the O(queries x 32) shortlist (broadcast) against the corpus for
     full-precision rows, so the expensive fetch never exceeds
     shortlist size. Codebooks here are seed-picked (deterministic);
     production trains them with kmeans_lloyd_step per subspace —

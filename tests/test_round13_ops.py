@@ -384,14 +384,20 @@ def test_audio_windows_wire_format_and_remainders(spark, sf_dir):
     rows = multimodal_audio_windows(spark, sf_dir).collect()
     assert rows
     assert all(1 <= r["n_samples"] <= _AUD_WIN for r in rows)
-    # remainder windows must exist AND be genuinely short
-    assert any(r["n_samples"] < _AUD_WIN for r in rows)
+    # EVERY doc's final window is a short remainder (lengths chosen so
+    # n - 16 is never a stride multiple)
+    last = {}
+    for r in rows:
+        cur = last.get(r["doc_id"])
+        if cur is None or r["window_idx"] > cur[0]:
+            last[r["doc_id"]] = (r["window_idx"], r["n_samples"])
+    assert all(n < _AUD_WIN for _, n in last.values())
     assert all(0 <= r["peak"] <= 32768 for r in rows)
     # per-doc window count matches the chunking formula
     per_doc: dict[int, int] = {}
     for r in rows:
         per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["window_idx"] + 1)
     for did2, n_w in per_doc.items():
-        n2 = 21 + (did2 % 5) * 9
+        n2 = 21 + (did2 % 5) * 10
         exp = max(0, -(-(n2 - _AUD_WIN) // _AUD_STRIDE)) + 1
         assert n_w == exp, did2
