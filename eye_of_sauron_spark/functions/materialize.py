@@ -77,11 +77,8 @@ def drain_session(spark: SparkSession) -> int:
     freed blocks cannot be recomputed."""
     for fn in list(_DRAIN_HOOKS):
         fn(spark)
-    live = spark.sparkContext._jsc.getPersistentRDDs()
-    n = 0
-    for rid in [int(i) for i in live.keySet().toArray()]:
-        rdd = live.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
-            n += 1
-    return n
+    # reuse the module's own primitives — one copy of the
+    # keySet/get/unpersist idiom to maintain, not two
+    ids = sorted(_persistent_ids(spark))
+    unpersist_ids(spark, ids)
+    return len(ids)

@@ -476,10 +476,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from BOTH sides there).
 
     Ground truth is the inverted-index exact pass
-    (``dedup_ngram_jaccard``): exact as long as every qualifying pair
-    shares at least one shingle with df <= _NGRAM_DF_CAP — guaranteed
-    at audit scale (fixture max df 25 < 64; watch
-    ``ngram_dropped_shingle_count`` in production). Scale shape: like
+    (``dedup_ngram_jaccard``): exact as long as NO shared shingle of
+    a qualifying pair exceeds _NGRAM_DF_CAP — an over-cap SHARED
+    shingle is excluded from the intersection count but not from the
+    set sizes, deflating the computed jaccard, so a true >= 0.8 pair
+    can silently drop out of the audit's denominator and read recall
+    HIGHER than reality. Guaranteed at audit scale (fixture max df
+    25 < 64, so no shingle is capped at all); in production a
+    nonzero ``ngram_dropped_shingle_count`` means exactly this risk
+    is live and the audit slice must be chosen under the cap. Scale shape: like
     the ANN recall audits, the exact side is the expensive audit
     baseline — at 100 TB this runs over a sampled corpus slice, and
     both join sides are O(near-dup pairs); the (doc_a, doc_b) equi

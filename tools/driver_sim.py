@@ -47,8 +47,21 @@ def main() -> int:
             # even the final-result checkpoint the iterative queries
             # legitimately pin, so the session's executor storage is
             # flat across the registry instead of accumulating one
-            # block set per iterative query
-            drain_session(spark)
+            # block set per iterative query. (Deliberate trade: the
+            # drain also evicts the BM25 postings memo, so a later
+            # retrieval query rebuilds it — cross-query memo warmth
+            # is sacrificed for a flat-storage guarantee the gate
+            # certifies; the rebuild cost is already inside each
+            # retrieval query's own bench row.)
+            #
+            # OUTSIDE the compare try: the oracle verdict is already
+            # printed, and a transient drain error must not relabel a
+            # hash-green query as FAIL (it would print contradictory
+            # OK/FAIL rows for the same name and fail the round).
+            try:
+                drain_session(spark)
+            except Exception:  # noqa: BLE001 — best-effort between rows
+                pass
         except Exception as exc:  # noqa: BLE001 — report, keep going
             fails.append(name)
             print(
@@ -75,13 +88,20 @@ def main() -> int:
                 drain_session(spark)
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
-    drain_session(spark)
-    n_pinned = len(
-        list(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    )
+    # best-effort: a session broken enough to fail the final drain or
+    # the pinned-RDD count must not eat the summary line and the
+    # documented 0/1 exit contract — the report is the product here
+    try:
+        drain_session(spark)
+        n_pinned = len(
+            list(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        )
+        pinned_msg = str(n_pinned)
+    except Exception as exc:  # noqa: BLE001
+        pinned_msg = f"unknown ({type(exc).__name__} during final drain)"
     print(
         f"done in {time.time() - t0:.0f}s; {len(fails)} failures: {fails}; "
-        f"pinned RDDs at session end: {n_pinned}"
+        f"pinned RDDs at session end: {pinned_msg}"
     )
     if len(fails) > 1:
         print(
