@@ -40,117 +40,104 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r13 rotation (50 entries = the driver's measured per-round
+    # --- r14 rotation (50 entries = the driver's measured per-round
     # budget) ---
-    # 1) the 7 r12 deferrals — the only rows whose latest driver
-    # evidence is r09 (deferral rationale recorded in the r12
-    # rotation comment: each was the lowest-information sibling of an
-    # in-rotation family member). They lead unconditionally.
-    "dedup_ngram_jaccard",
-    "similarity_topk_lsh",
-    "similarity_topk_sq8_rerank",
-    "dedup_span_rewrite",
-    "stream_funnel_replay",
-    "timeseries_ohlc_resample",
-    "text_char_diversity",
-    # 2) NEW this round, registered + oracle-certified at three
-    # scales + pytest-pinned BEFORE the round's final verification
-    # pass (the r09 process rule): the leakage-proof group-routed
-    # split, the token-budget epoch scheduler, the PQ ANN tier with
-    # its recall contract, the nested-type ORC ingest, and the
-    # hard-negative miner.
-    "split_group_routed",
-    "mixture_token_budget",
-    "similarity_topk_pq_rerank",
-    "similarity_pq_recall",
-    "orc_roundtrip_ingest",
-    "mine_hard_negatives",
-    "similarity_topk_mrl_rerank",
-    "similarity_mrl_recall",
-    "multimodal_audio_windows",
-    # 3) 34 of the 50 queries whose latest driver row is r10 (they
-    # turn 3 rounds old after r13). The 16 deferrals below lead r14.
-    "anti_join_silent_customers",
-    "compact_small_files",
-    "correlated_subquery_above_avg",
-    "csv_roundtrip_ingest",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_substring_spans",
-    "doc_fingerprint",
-    "embedding_centroid_stats",
-    "embedding_int8_quantize",
-    "flagship_purchases_by_nation",
-    "grouped_map_session_stats",
-    "join_bucketed_colocated",
-    "join_revenue_by_priority",
-    "kafka_decode_replay",
-    "kmeans_lloyd_step",
-    "mixture_cap_per_source",
-    "ml_match_first_target",
-    "multimodal_image_stats",
-    "outer_join_order_count_histogram",
-    "pricing_summary",
-    "quality_filter_pipeline",
-    "routed_sink_pruned_read",
-    "sample_weighted_reservoir",
-    "schema_evolution_ingest",
-    "search_bm25_topk",
-    "sketch_countmin_freq",
-    "stream_observe_metrics_replay",
-    "stream_reorder_overflow_replay",
-    "stream_session_window",
-    "text_chunking",
-    "text_pii_scrub",
-    "window_first_match_semantics",
-    "window_time_range_rolling",
-    # --- deferred to r14 (the 9 new queries above displaced exactly
-    # 9 slots; 16 r10 rows wait): each deferral is the
-    # lowest-information sibling of a family member that IS in this
-    # rotation (or whose driver evidence is r12-fresh) — shared
-    # plan/oracle machinery, hash-green r10, re-greened locally in
-    # every pytest run (tests/test_queries_oracle.py):
-    #   window_lag_event_gaps, window_lead_transitions,
-    #   window_moving_avg, window_ntile_spend_quartiles,
-    #   window_rank_customers (plans/window.py siblings of the
-    #     in-rotation window_first_match_semantics and
-    #     window_time_range_rolling — same window machinery, these
-    #     five are its simplest single-frame members),
-    #   stream_tumbling_window, stream_sliding_window (batch-mode
-    #     oracle rows whose STREAMING semantics are driver-checked by
-    #     the r12-fresh stream_window_replay/stream_update_mode_replay
-    #     and the in-rotation stream_session_window anchors the
-    #     batch family),
-    #   dedup_exact_keep_first (operator form of the in-rotation
-    #     dedup_exact — same hash-groupBy plan, adds one arg_min),
-    #   multimodal_frame_sample (its sampling plumbing runs inside
-    #     the r11-fresh multimodal_frame_features; in-rotation
-    #     multimodal_image_stats anchors the decode family),
-    #   sql_revenue_top_nations (raw-SQL surface computing the same
-    #     result family as the in-rotation join_revenue_by_priority),
-    #   jsonl_roundtrip_ingest (sibling of the in-rotation
-    #     csv_roundtrip_ingest — shared roundtrip machinery in
-    #     sources/, only the codec differs),
-    #   deterministic_sample_documents (its md5-bucket routing is the
-    #     identical hashing/gating machinery the in-rotation
-    #     split_group_routed and mixture gates exercise; the sampling
-    #     family's weighted member sample_weighted_reservoir is also
-    #     in rotation),
-    #   zorder_cluster_events (physical-layout sibling of the
-    #     in-rotation compact_small_files — same write-then-audit
-    #     machinery; the pruned-READ path it exists for is driven by
-    #     the in-rotation routed_sink_pruned_read),
-    #   funnel_view_click_purchase (batch member of the funnel family
-    #     whose chained-window reach oracle is the SAME one the
-    #     in-rotation stream_funnel_replay is checked against),
-    #   semi_join_active_customers (plan-family sibling of the
-    #     in-rotation anti_join_silent_customers — identical keys and
-    #     machinery, anti is the stricter null-handling member),
-    #   heavy_hitters_users (the exact heavy-hitter pass whose
-    #     top-N/count results ride VERBATIM inside the in-rotation
-    #     sketch_countmin_freq's exact CTEs — every countmin driver
-    #     run re-verifies it implicitly).
-    # They lead the r14 rotation.
+    # BASIS (permanent rule, VERDICT r13 #1): this list is generated
+    # from `python tools/evidence_ledger.py` over the CORRECTNESS_r*.json
+    # files PRESENT AT ROUND START — never from the prior round's
+    # expected outcome. At r14 start the artifacts on disk are
+    # CORRECTNESS_r01..r11 and r13 (NO r12 — that driver round's
+    # artifacts never landed), so the ledger reads: 50 r13 / 50 r11 /
+    # 16 r10 / 43 r09 / 5 r08 / 2 never-verified. The r13 comment's
+    # promise that "the 16 r10 deferrals lead r14" was written against
+    # an assumed r12 outcome and is superseded by this basis: r10 rows
+    # are FRESHER than the r09/r08 blocks and wait for r15.
+    # 1) the 2 registered queries with NO driver row at all (their r12
+    # slots were lost with the missing artifacts). They lead
+    # unconditionally.
+    "dedup_minhash_recall",
+    "stream_change_detect_replay",
+    # 2) the 5 rows whose latest driver evidence is r08 — five rounds
+    # stale, ordered re-greened since the r11 brief.
+    "cube_quantity",
+    "json_map_explode",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "topk_orders_by_price",
+    # 3) NEW this round (the r14 surface cap is 2, VERDICT r13 #2):
+    # the Lloyd-trained PQ tier and its recall contract — the trained
+    # codebooks lift the quality ledger's weakest rung (seed PQ ~0.5 ->
+    # trained ~0.7 on the worst-case isotropic fixture) using only
+    # driver-green machinery (kmeans_lloyd_step's assignment/update
+    # conventions inside similarity_topk_pq_rerank's plan shape).
+    "similarity_topk_pq_trained",
+    "similarity_pq_trained_recall",
+    # 4) 41 of the 43 rows whose latest driver evidence is r09. The 2
+    # deferrals (below) are the only rows this rotation leaves at r09.
+    "anomaly_zscore_events",
+    "cdc_latest_snapshot",
+    "cohort_retention_orders",
+    "curation_pipeline_e2e",
+    "dataset_diff_snapshots",
+    "decontam_source_overlap_matrix",
+    "dedup_cluster_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_incremental_corpus",
+    "dedup_minhash_lsh",
+    "dedup_span_coverage",
+    "event_sequence_trigrams",
+    "graph_triangle_census",
+    "histogram_equi_depth_value",
+    "join_salted_skew",
+    "market_basket_part_pairs",
+    "mixture_temperature_sample",
+    "pca_power_iteration",
+    "profile_events_columns",
+    "range_join_time_buckets",
+    "scd2_merge_customers",
+    "similarity_ivf_recall",
+    "sketch_quantiles_value",
+    "skyline_pareto_orders",
+    "stream_cdc_apply_replay",
+    "stream_funnel_bucketed_replay",
+    "stream_late_drop_replay",
+    "stream_left_join_replay",
+    "stream_rebroadcast_replay",
+    "stream_restart_replay",
+    "stream_session_replay",
+    "stream_update_mode_replay",
+    "stream_window_replay",
+    "text_bigram_lm",
+    "text_lm_score",
+    "textrank_keywords",
+    "timeseries_gap_fill",
+    "validate_events_expectations",
+    "window_percent_rank_acctbal",
+    "winsorize_values_by_type",
+    # --- deferred to r15 (each with rationale; all re-greened locally
+    # in every pytest run, tests/test_queries_oracle.py):
+    #   similarity_lsh_recall, similarity_sq8_recall (r09) — the two
+    #     new trained-PQ rows displaced exactly these two: the recall-
+    #     contract harness (_recall_of/_recall_oracle) is exercised
+    #     THREE times in this rotation (dedup_minhash_recall,
+    #     similarity_ivf_recall, similarity_pq_trained_recall), and
+    #     their forward paths similarity_topk_lsh /
+    #     similarity_topk_sq8_rerank are r13-fresh; similarity_ivf_recall
+    #     stays in because its forward path (similarity_topk_ivf, r11)
+    #     is the family's oldest.
+    #   the 16 r10 rows (window_lag_event_gaps, window_lead_transitions,
+    #     window_moving_avg, window_ntile_spend_quartiles,
+    #     window_rank_customers, stream_tumbling_window,
+    #     stream_sliding_window, dedup_exact_keep_first,
+    #     multimodal_frame_sample, sql_revenue_top_nations,
+    #     jsonl_roundtrip_ingest, deterministic_sample_documents,
+    #     zorder_cluster_events, funnel_view_click_purchase,
+    #     semi_join_active_customers, heavy_hitters_users) — fresher
+    #     than every block in this rotation; per-name family rationales
+    #     recorded in the r13 rotation comment (git history, commit
+    #     492b27e^). With the 2 r09 deferrals they are the natural r15
+    #     head: 16 + 2 + 50-r13-block overflow as needed.
 )
 
 
