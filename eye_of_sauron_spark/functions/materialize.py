@@ -38,14 +38,19 @@ def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
     return ck, ids
 
 
-def unpersist_ids(spark: SparkSession, ids: list[int]) -> None:
+def unpersist_ids(spark: SparkSession, ids: list[int]) -> int:
     """Free the blocks behind previously tracked checkpoint ids.
-    Ids already gone (session restart, double free) are skipped."""
+    Ids already gone (session restart, double free) are skipped.
+    Returns the number of RDDs ACTUALLY unpersisted (ADVICE r13: the
+    skip path must not inflate drain counts)."""
     live = spark.sparkContext._jsc.getPersistentRDDs()
+    freed = 0
     for rid in ids:
         rdd = live.get(rid)
         if rdd is not None:
             rdd.unpersist(False)
+            freed += 1
+    return freed
 
 
 # Session-level drain: after a query's RESULT has been fully consumed
@@ -78,7 +83,8 @@ def drain_session(spark: SparkSession) -> int:
     for fn in list(_DRAIN_HOOKS):
         fn(spark)
     # reuse the module's own primitives — one copy of the
-    # keySet/get/unpersist idiom to maintain, not two
+    # keySet/get/unpersist idiom to maintain, not two; the count is
+    # what unpersist_ids actually freed, not what the first snapshot
+    # listed (ids can disappear between the two snapshots — ADVICE r13)
     ids = sorted(_persistent_ids(spark))
-    unpersist_ids(spark, ids)
-    return len(ids)
+    return unpersist_ids(spark, ids)

@@ -1017,19 +1017,21 @@ def split_group_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to group routing touches ONLY clustered docs (``n_moved`` counts
     them), never reshuffles the 99%+ singleton corpus.
 
-    Emits one row per split with group/doc/char accounting plus the
-    RULE-level re-audit as a hashed column: ``leaking_components``
-    re-runs the straddle audit over the component relation under the
-    group-key routing rule and must be 0 — it certifies the RULE
-    (split is a pure function of the group key; a future edit that
-    routes clustered docs by anything doc-dependent flips it
-    non-zero). It is deliberately computed from the component
-    relation, NOT from the corpus-joined output (that would cost a
-    second corpus pass — SCALE.md 'round 13'), so a regression in the
-    corpus JOIN itself is outside its reach; that class is caught
-    instead by the oracle hash over the accounting columns
-    (n_docs/n_moved/n_clustered all shift if the join or coalesce
-    breaks) and by the row-exact python routing cross-check in
+    Emits one row per split with group/doc/char accounting plus
+    ``leaking_components``, which must be 0. Honest scope (ADVICE
+    r13): on the Spark side this column is recomputed from the
+    component relation as ``_route(component)`` — a pure function of
+    the group key — so ``countDistinct(gsplit) >= 2`` is
+    unsatisfiable BY CONSTRUCTION and the column certifies nothing
+    beyond determinism of ``_route``; a future edit that routes
+    clustered docs by anything doc-dependent would leave it at 0. It
+    is deliberately NOT derived from the labeled output (that drags a
+    second corpus pass through the audit branch — SCALE.md 'round
+    13'). Routing regressions are instead caught by the ORACLE, whose
+    audit re-derives leakage from the labeled output's clustered rows
+    and whose hash covers the accounting columns
+    (n_docs/n_moved/n_clustered all shift if the join, coalesce, or
+    route breaks), and by the row-exact python routing cross-check in
     tests/test_round13_ops.py.
 
     Scale shape: components come from the identical CC machinery as
@@ -1136,9 +1138,12 @@ _BUDGET_TOKENS = 1_000_000
         FROM weighted, tot
     )
     SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
-           target_tokens // avail_tokens AS epochs,
-           ((target_tokens % avail_tokens) * 1000000) // avail_tokens
-               AS residual_ppm
+           -- nullif pins the zero-token-source edge to NULL on BOTH
+           -- engines (ADVICE r13: DuckDB's integer // would otherwise
+           -- diverge from Spark's non-ANSI NULL on div-by-zero)
+           target_tokens // nullif(avail_tokens, 0) AS epochs,
+           ((target_tokens % nullif(avail_tokens, 0)) * 1000000)
+               // nullif(avail_tokens, 0) AS residual_ppm
     FROM sched
     """,
 )
@@ -1210,8 +1215,12 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avail_tokens",
         "weight_ppm",
         "target_tokens",
-        F.expr("target_tokens div avail_tokens").alias("epochs"),
+        # nullif pins the zero-token-source edge to NULL on BOTH engines
+        # (ADVICE r13) — Spark's non-ANSI div already NULLs on zero, the
+        # guard makes the contract explicit and engine-independent
+        F.expr("target_tokens div nullif(avail_tokens, 0)").alias("epochs"),
         F.expr(
-            "((target_tokens % avail_tokens) * 1000000) div avail_tokens"
+            "((target_tokens % nullif(avail_tokens, 0)) * 1000000)"
+            " div nullif(avail_tokens, 0)"
         ).alias("residual_ppm"),
     )
