@@ -24,6 +24,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -432,35 +433,43 @@ def audio_windows(audio: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulators — the window math below is numpy
+            # (frombuffer reinterpretation + one strided view per row),
+            # not per-sample python; at wide-corpus scale the batch
+            # cost is the Arrow transfer, not the decode (ADVICE r13)
+            cols: dict[str, list] = {k: [] for k in (
+                "doc_id", "window_idx", "sample_rate", "n_samples",
+                "sum_sq", "peak")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
                 b = bytes(blob)
                 assert b[:4] == _AUD_MAGIC, "bad magic"
                 rate, ch, n = struct.unpack(">HHH", b[4:10])
-                samples = struct.unpack(f"<{n}h", b[10 : 10 + 2 * n])
+                # exact LE int16 reinterpretation, widened BEFORE the
+                # square so sum_sq keeps int64 semantics
+                s = np.frombuffer(b, dtype="<i2", count=n, offset=10).astype(
+                    np.int64
+                )
                 n_w = max(0, -(-(n - _AUD_WIN) // _AUD_STRIDE)) + 1
-                for w in range(n_w):
-                    seg = samples[w * _AUD_STRIDE : w * _AUD_STRIDE + _AUD_WIN]
-                    rows.append(
-                        (
-                            int(doc_id),
-                            w,
-                            rate,
-                            len(seg),
-                            sum(x * x for x in seg),
-                            max(abs(x) for x in seg),
-                        )
-                    )
+                starts = np.arange(n_w, dtype=np.int64) * _AUD_STRIDE
+                ends = np.minimum(starts + _AUD_WIN, n)
+                # zero-pad to the last window's nominal end: pad samples
+                # contribute 0 to sum_sq and 0 to |peak|, so the strided
+                # view computes the short remainder window exactly while
+                # n_samples counts only real samples
+                pad = int(starts[-1]) + _AUD_WIN - n
+                sp = np.concatenate([s, np.zeros(pad, np.int64)]) if pad > 0 else s
+                wv = np.lib.stride_tricks.sliding_window_view(sp, _AUD_WIN)[
+                    ::_AUD_STRIDE
+                ][:n_w]
+                cols["doc_id"].append(np.full(n_w, int(doc_id), np.int64))
+                cols["window_idx"].append(np.arange(n_w, dtype=np.int32))
+                cols["sample_rate"].append(np.full(n_w, rate, np.int32))
+                cols["n_samples"].append((ends - starts).astype(np.int32))
+                cols["sum_sq"].append((wv * wv).sum(axis=1))
+                cols["peak"].append(np.abs(wv).max(axis=1).astype(np.int32))
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "window_idx",
-                    "sample_rate",
-                    "n_samples",
-                    "sum_sq",
-                    "peak",
-                ],
+                {k: np.concatenate(v) if v else np.array([], np.int64)
+                 for k, v in cols.items()}
             )
 
     return audio.mapInPandas(
