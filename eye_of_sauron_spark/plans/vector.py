@@ -744,6 +744,56 @@ def _pq_slice_duck(arr: str, m: str) -> str:
     )
 
 
+def _pq_sub(arr, m):
+    """Subvector ``m`` (0-based) of a ``_DIM``-wide array — the Spark
+    twin of :func:`_pq_slice_duck`."""
+    return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+
+def _pq_seeds_row(emb: DataFrame) -> DataFrame:
+    """ONE-row relation holding the seed codewords (the ``_PQ_K``
+    smallest vec_ids), asc-sorted so the assignment fold's iteration
+    order is deterministic."""
+    return (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
+        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds"))
+    )
+
+
+def _pq_nearest(codewords, query_sub, cw_of):
+    """THE codeword-assignment fold, shared by every PQ stage — seed
+    encode, Lloyd E-step, trained encode — so the micro-quantized
+    ``(dm, seed_id)`` tie rule lives in exactly one place: argmin
+    over ``codewords`` (structs asc-sorted by ``seed_id``) of
+    ``floor(euclid * 1e6)`` to ``query_sub``; strict ``<`` over the
+    ascending iteration == ``ORDER BY dm, seed_id`` rn=1
+    (kmeans_lloyd_step's convention). ``cw_of(s)`` extracts the
+    codeword array from a struct element. Returns
+    struct(sid, dm, sub) with the winning codeword riding the
+    accumulator (cast to array<double> — exact widening) so
+    reconstruction needs no lookup join."""
+    none = F.struct(
+        F.lit(None).cast("bigint").alias("sid"),
+        F.lit(None).cast("bigint").alias("dm"),
+        F.lit(None).cast("array<double>").alias("sub"),
+    )
+
+    def closer(acc, s):
+        cand = cw_of(s)
+        d = F.floor(euclid_spark(query_sub, cand) * 1000000).cast("bigint")
+        return F.when(
+            acc["dm"].isNull() | (d < acc["dm"]),
+            F.struct(
+                s["seed_id"].alias("sid"),
+                d.alias("dm"),
+                cand.cast("array<double>").alias("sub"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(codewords, none, closer)
+
+
 # shared CTE prefix of both PQ tiers: seed codewords + the seed-codebook
 # assignment (which IS the Lloyd E-step the trained tier starts from)
 _PQ_SEED_CTES = f"""seeds AS (
@@ -853,39 +903,15 @@ def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalized; the compressed-index shape FAISS IVFPQ runs at
     billion scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    seeds_row = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
-        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds"))
+    seeds_row = _pq_seeds_row(emb)
+    msel = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: _pq_nearest(
+            F.col("sds"),
+            _pq_sub(F.col("embedding"), m),
+            lambda s: _pq_sub(s["se"], m),
+        ),
     )
-
-    def _sub(arr, m):
-        return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    _none = F.struct(
-        F.lit(None).cast("bigint").alias("sid"),
-        F.lit(None).cast("bigint").alias("dm"),
-        F.lit(None).cast("array<float>").alias("sub"),
-    )
-
-    def _encode(m):
-        def _closer(acc, s):
-            cand = _sub(s["se"], m)
-            d = (
-                F.floor(
-                    euclid_spark(_sub(F.col("embedding"), m), cand) * 1000000
-                ).cast("bigint")
-            )
-            return F.when(
-                acc["dm"].isNull() | (d < acc["dm"]),
-                F.struct(
-                    s["seed_id"].alias("sid"), d.alias("dm"), cand.alias("sub")
-                ),
-            ).otherwise(acc)
-
-        return F.aggregate(F.col("sds"), _none, _closer)
-
-    msel = F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), _encode)
     recon = (
         _spread(emb, "vec_id")
         .crossJoin(F.broadcast(seeds_row))
@@ -1038,34 +1064,18 @@ def _pq_trained_codebook(emb: DataFrame) -> DataFrame:
     seeds = emb.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")
     )
-    seeds_row = seeds.agg(
-        F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds")
-    )
-
-    def _sub(arr, m):
-        return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    _none = F.struct(
-        F.lit(None).cast("bigint").alias("sid"),
-        F.lit(None).cast("bigint").alias("dm"),
-    )
-
-    def _best_sid(m):
-        def _closer(acc, s):
-            d = F.floor(
-                euclid_spark(_sub(F.col("embedding"), m), _sub(s["se"], m))
-                * 1000000
-            ).cast("bigint")
-            return F.when(
-                acc["dm"].isNull() | (d < acc["dm"]),
-                F.struct(s["seed_id"].alias("sid"), d.alias("dm")),
-            ).otherwise(acc)
-
-        return F.aggregate(F.col("sds"), _none, _closer)["sid"]
+    seeds_row = _pq_seeds_row(emb)
 
     assign_arr = F.transform(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda m: F.struct(m.alias("m"), _best_sid(m).alias("sid")),
+        lambda m: F.struct(
+            m.alias("m"),
+            _pq_nearest(
+                F.col("sds"),
+                _pq_sub(F.col("embedding"), m),
+                lambda s: _pq_sub(s["se"], m),
+            )["sid"].alias("sid"),
+        ),
     )
     mem = (
         emb.crossJoin(F.broadcast(seeds_row))
@@ -1073,7 +1083,7 @@ def _pq_trained_codebook(emb: DataFrame) -> DataFrame:
         .select(
             F.col("a.m").alias("m"),
             F.col("a.sid").alias("seed_id"),
-            F.posexplode(_sub(F.col("embedding"), F.col("a.m"))).alias(
+            F.posexplode(_pq_sub(F.col("embedding"), F.col("a.m"))).alias(
                 "pos", "v"
             ),
         )
@@ -1142,34 +1152,14 @@ def similarity_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     it without touching query cost."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = _pq_trained_codebook(emb)
-
-    def _sub(arr, m):
-        return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    _none = F.struct(
-        F.lit(None).cast("bigint").alias("sid"),
-        F.lit(None).cast("bigint").alias("dm"),
-        F.lit(None).cast("array<double>").alias("sub"),
+    msel = F.transform(
+        F.col("cbs"),
+        lambda mc: _pq_nearest(
+            mc["cws"],
+            _pq_sub(F.col("embedding"), mc["m"]),
+            lambda s: s["ce"],
+        ),
     )
-
-    def _enc(mc):
-        def _closer(acc, s):
-            d = F.floor(
-                euclid_spark(_sub(F.col("embedding"), mc["m"]), s["ce"])
-                * 1000000
-            ).cast("bigint")
-            return F.when(
-                acc["dm"].isNull() | (d < acc["dm"]),
-                F.struct(
-                    s["seed_id"].alias("sid"),
-                    d.alias("dm"),
-                    s["ce"].alias("sub"),
-                ),
-            ).otherwise(acc)
-
-        return F.aggregate(mc["cws"], _none, _closer)
-
-    msel = F.transform(F.col("cbs"), _enc)
     recon = (
         _spread(emb, "vec_id")
         .crossJoin(F.broadcast(cb))

@@ -144,9 +144,12 @@ def test_pq_plan_no_unbroadcast_cartesian(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    for line in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in line:
-            assert "BuildRight" in line or "BuildLeft" in line
+    # exactly the 2 deliberate 1-row/queries-sized broadcasts (codebook
+    # row x corpus for encode, query set x recon for ADC) — a join that
+    # falls OUT of broadcast hash join into BNLJ would raise this
+    # count (the per-line BuildLeft/BuildRight check this replaces was
+    # vacuous: Spark prints a build side on every BNLJ line)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
 
 
 def test_pq_shortlist_and_output_shape(spark, sf_dir):

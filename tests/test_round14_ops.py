@@ -34,9 +34,11 @@ def test_pq_trained_plan_no_unbroadcast_cartesian(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    for line in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in line:
-            assert "BuildRight" in line or "BuildLeft" in line
+    # exactly the 3 deliberate 1-row/queries-sized broadcasts (seeds
+    # row x corpus for the E-step, codebook row x corpus for encode,
+    # query set x recon for ADC) — a join that falls OUT of broadcast
+    # hash join into BNLJ would raise this count
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
 
 
 def test_pq_trained_codebook_total_and_reconstructible(spark, sf_dir):
