@@ -444,6 +444,10 @@ def audio_windows(audio: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 assert b[:4] == _AUD_MAGIC, "bad magic"
                 rate, ch, n = struct.unpack(">HHH", b[4:10])
+                # loud on empty payloads: the padded-window math below
+                # would emit one all-zero window where the oracle emits
+                # none — keep that divergence impossible
+                assert n > 0, "empty PCM payload"
                 # exact LE int16 reinterpretation, widened BEFORE the
                 # square so sum_sq keeps int64 semantics
                 s = np.frombuffer(b, dtype="<i2", count=n, offset=10).astype(

@@ -1139,8 +1139,9 @@ _BUDGET_TOKENS = 1_000_000
     )
     SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
            -- nullif pins the zero-token-source edge to NULL on BOTH
-           -- engines (ADVICE r13: DuckDB's integer // would otherwise
-           -- diverge from Spark's non-ANSI NULL on div-by-zero)
+           -- engines (ADVICE r13). Measured: DuckDB's // and % by zero
+           -- already return NULL, same as Spark's non-ANSI div — the
+           -- guard is an explicit contract, not a divergence fix.
            target_tokens // nullif(avail_tokens, 0) AS epochs,
            ((target_tokens % nullif(avail_tokens, 0)) * 1000000)
                // nullif(avail_tokens, 0) AS residual_ppm

@@ -750,15 +750,28 @@ def _pq_sub(arr, m):
     return F.slice(arr, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
 
+def _pq_seeds(emb: DataFrame) -> DataFrame:
+    """THE flat seed relation — the ``_PQ_K`` smallest vec_ids as
+    ``(seed_id, se)`` — defined once so every PQ stage (seed-row fold,
+    Lloyd grid) derives from the same subtree."""
+    return emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")
+    )
+
+
+def _pq_seed_fold(seeds: DataFrame) -> DataFrame:
+    """Fold a flat ``(seed_id, se)`` relation into ONE broadcastable
+    row, asc-sorted so the assignment fold's iteration order is
+    deterministic."""
+    return seeds.agg(
+        F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds")
+    )
+
+
 def _pq_seeds_row(emb: DataFrame) -> DataFrame:
     """ONE-row relation holding the seed codewords (the ``_PQ_K``
-    smallest vec_ids), asc-sorted so the assignment fold's iteration
-    order is deterministic."""
-    return (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
-        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "se"))).alias("sds"))
-    )
+    smallest vec_ids)."""
+    return _pq_seed_fold(_pq_seeds(emb))
 
 
 def _pq_nearest(codewords, query_sub, cw_of):
@@ -1061,10 +1074,8 @@ def _pq_trained_codebook(emb: DataFrame) -> DataFrame:
     fixture scan. More Lloyd rounds = re-running this function's
     E/M pair; one round is registered because it is the measured
     recall knee on the isotropic fixture (SCALE.md round 13/14)."""
-    seeds = emb.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")
-    )
-    seeds_row = _pq_seeds_row(emb)
+    seeds = _pq_seeds(emb)
+    seeds_row = _pq_seed_fold(seeds)
 
     assign_arr = F.transform(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1)),

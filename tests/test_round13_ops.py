@@ -148,8 +148,9 @@ def test_pq_plan_no_unbroadcast_cartesian(spark, sf_dir):
     # row x corpus for encode, query set x recon for ADC) — a join that
     # falls OUT of broadcast hash join into BNLJ would raise this
     # count (the per-line BuildLeft/BuildRight check this replaces was
-    # vacuous: Spark prints a build side on every BNLJ line)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # vacuous: Spark prints a build side on every BNLJ line); one of the
+    # deliberate broadcasts becoming a hash join would lower it
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
 
 
 def test_pq_shortlist_and_output_shape(spark, sf_dir):

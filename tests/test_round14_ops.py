@@ -37,8 +37,9 @@ def test_pq_trained_plan_no_unbroadcast_cartesian(spark, sf_dir):
     # exactly the 3 deliberate 1-row/queries-sized broadcasts (seeds
     # row x corpus for the E-step, codebook row x corpus for encode,
     # query set x recon for ADC) — a join that falls OUT of broadcast
-    # hash join into BNLJ would raise this count
-    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    # hash join into BNLJ would raise this count; one of the deliberate
+    # broadcasts becoming a hash join would lower it (update on purpose)
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
 
 
 def test_pq_trained_codebook_total_and_reconstructible(spark, sf_dir):
