@@ -14,6 +14,7 @@ is covered by the property tests in tests/test_properties.py.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -30,6 +31,7 @@ from ..sources import load_table
 from .harness import (
     file_stream,
     run_to_memory,
+    staged_microbatch_log,
     write_microbatch_files_partitioned,
 )
 from .joins import clicks_to_errors_stream_join
@@ -404,6 +406,54 @@ def _time_sliced(df: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
+    """The time-sliced events change log, staged ONCE per session: all
+    five event columns, ``_N_BATCHES`` octile micro-batches. Eight
+    replay consumers (window/update/session/cdc/funnel x2/observe/
+    static-match) read this one log — the production analogue is the
+    broker's log existing once for every consumer group, and the batch
+    octile is a pure function of ``ts``, so the shared slicing is
+    byte-identical to what each consumer wrote for itself before. Each
+    consumer's ``file_stream`` schema projects its own column subset
+    (parquet prunes by name). Read-only for callers; removed at
+    process exit."""
+    return staged_microbatch_log(
+        ("events_sliced", os.path.realpath(sf_dir), _N_BATCHES),
+        _N_BATCHES,
+        lambda: _time_sliced(
+            load_table(spark, sf_dir, "events").select(
+                "user_id", "event_type", "value", "ts", "event_id"
+            ),
+            _N_BATCHES,
+        ),
+    )
+
+
+def _staged_click_error_logs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The click/error side logs of the stream-stream join replays,
+    staged once per session (4 octile micro-batches each, sliced over
+    each side's own ts range — exactly what both join replays wrote
+    for themselves before). Shared by stream_join_replay and
+    stream_left_join_replay; read-only, removed at process exit."""
+    sf = os.path.realpath(sf_dir)
+
+    def _side(tp: str) -> str:
+        def _build() -> DataFrame:
+            ev = load_table(spark, sf_dir, "events")
+            return _time_sliced(
+                ev.filter(F.col("event_type") == tp).select(
+                    "user_id", "event_id", "ts"
+                ),
+                _SS_BATCHES,
+            )
+
+        return staged_microbatch_log(
+            (f"{tp}_sliced", sf, _SS_BATCHES), _SS_BATCHES, _build
+        )
+
+    return _side("click"), _side("error")
+
+
 _SS_BATCHES = 4
 
 _SS_JOIN_ORACLE = """
@@ -431,27 +481,15 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned in tests/test_streaming.py. Scale shape: both sides
     shuffle once on user_id; watermark-bounded state is the fix for
     the reference's unbounded pairing dict (src/utils.py:50,168)."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "event_id", "ts"
-    )
     work = tempfile.mkdtemp(prefix="ss_join_replay_")
     # 4 micro-batches per side: a stream-stream join keeps FOUR state
     # stores per partition per micro-batch, so batch count is the
     # dominant fixed cost of the replay; 4 ordered slices exercise the
     # same incremental semantics as 8 at half the wall time
-    write_microbatch_files_partitioned(
-        _time_sliced(clicks, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/clicks"
-    )
-    write_microbatch_files_partitioned(
-        _time_sliced(errors, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/errors"
-    )
+    clicks_dir, errors_dir = _staged_click_error_logs(spark, sf_dir)
     schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
-    cs = file_stream(spark, f"{work}/clicks", schema)
-    es = file_stream(spark, f"{work}/errors", schema)
+    cs = file_stream(spark, clicks_dir, schema)
+    es = file_stream(spark, errors_dir, schema)
     try:
         with _scoped_shuffle(spark, _SS_BATCHES):
             emitted = run_to_memory(
@@ -569,17 +607,9 @@ def stream_static_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     work = tempfile.mkdtemp(prefix="stream_static_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(
-            ev.select("event_id", "user_id", "event_type", "ts"), _N_BATCHES
-        ),
-        "batch",
-        _N_BATCHES,
-        f"{work}/in",
-    )
     stream = file_stream(
         spark,
-        f"{work}/in",
+        _staged_events_log(spark, sf_dir),
         "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP",
     )
     try:
@@ -663,8 +693,6 @@ def stream_rebroadcast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch assignment is event_id % 8 — a stream-static join holds no
     watermark state, so arrival order is irrelevant and the phase
     boundary is exactly SQL-expressible."""
-    import os
-
     ev = load_table(spark, sf_dir, "events")
     half = _REBROADCAST_BATCHES // 2
     sliced = ev.select("event_id", "user_id", "event_type").withColumn(
@@ -998,23 +1026,11 @@ def stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     by watermark, NULL emission adds no state of its own."""
     from .joins import clicks_to_errors_left_join
 
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "event_id", "ts"
-    )
     work = tempfile.mkdtemp(prefix="ss_left_join_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(clicks, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/clicks"
-    )
-    write_microbatch_files_partitioned(
-        _time_sliced(errors, _SS_BATCHES), "batch", _SS_BATCHES, f"{work}/errors"
-    )
+    clicks_dir, errors_dir = _staged_click_error_logs(spark, sf_dir)
     schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
-    cs = file_stream(spark, f"{work}/clicks", schema)
-    es = file_stream(spark, f"{work}/errors", schema)
+    cs = file_stream(spark, clicks_dir, schema)
+    es = file_stream(spark, errors_dir, schema)
     try:
         with _scoped_shuffle(spark, _SS_BATCHES):
             emitted = run_to_memory(
@@ -1074,13 +1090,11 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Scale shape: identical to any production streaming rollup —
     state is one row per open (window, type), eviction is by
     watermark, shuffle is one exchange on the group keys."""
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     work = tempfile.mkdtemp(prefix="wagg_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _WAGG_BATCHES), "batch", _WAGG_BATCHES, f"{work}/in"
-    )
     stream = file_stream(
-        spark, f"{work}/in", "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        spark,
+        _staged_events_log(spark, sf_dir),
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
     )
     cents = cents_spark(F.col("value"))
     agg = (
@@ -1255,12 +1269,12 @@ def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two columns. Complements the append-mode window replay
     (stream_window_replay): append checks WHEN rows may finally be
     emitted, update checks WHAT is emitted every intermediate batch."""
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     work = tempfile.mkdtemp(prefix="upd_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _UPD_BATCHES), "batch", _UPD_BATCHES, f"{work}/in"
+    stream = file_stream(
+        spark,
+        _staged_events_log(spark, sf_dir),
+        "ts TIMESTAMP, event_type STRING",
     )
-    stream = file_stream(spark, f"{work}/in", "ts TIMESTAMP, event_type STRING")
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     try:
         with _scoped_shuffle(spark, _UPD_BATCHES):
@@ -1345,13 +1359,11 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     size tracks concurrent activity, not stream length. The summed
     measure is integer cents so incremental merge order can't perturb
     a float hash."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     work = tempfile.mkdtemp(prefix="sess_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _SESS_BATCHES), "batch", _SESS_BATCHES, f"{work}/in"
-    )
     stream = file_stream(
-        spark, f"{work}/in", "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        spark,
+        _staged_events_log(spark, sf_dir),
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
     )
     cents = cents_spark(F.col("value"))
     agg = (
@@ -1487,7 +1499,6 @@ def make_cdc_apply(
     bucket-pruning contract ("an untouched bucket's files are never
     opened") is asserted against it deterministically in
     tests/test_round7_ops.py, not argued by wall-clock."""
-    import os
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
@@ -1563,16 +1574,10 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi full-outer join per touched slice). Tombstones stay in the
     snapshot as flagged rows so ordering against late re-inserts
     stays well-defined; the read side filters them."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "value", "ts", "event_id"
-    )
     work = tempfile.mkdtemp(prefix="cdc_apply_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _CDC_BATCHES), "batch", _CDC_BATCHES, f"{work}/in"
-    )
     stream = file_stream(
         spark,
-        f"{work}/in",
+        _staged_events_log(spark, sf_dir),
         "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP,"
         " event_id BIGINT",
     )
@@ -1679,16 +1684,10 @@ def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/prediction_producer.py:321-323)."""
     from .funnel import funnel_stream
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
     work = tempfile.mkdtemp(prefix="funnel_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _FUN_BATCHES), "batch", _FUN_BATCHES, f"{work}/in"
-    )
     stream = file_stream(
         spark,
-        f"{work}/in",
+        _staged_events_log(spark, sf_dir),
         "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
     )
     try:
@@ -1723,16 +1722,10 @@ def stream_funnel_bucketed_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     "Bucketed-funnel probe")."""
     from .funnel import funnel_stream_bucketed
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
     work = tempfile.mkdtemp(prefix="funnel_bucketed_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _FUN_BATCHES), "batch", _FUN_BATCHES, f"{work}/in"
-    )
     stream = file_stream(
         spark,
-        f"{work}/in",
+        _staged_events_log(spark, sf_dir),
         "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
     )
     try:
@@ -1806,10 +1799,9 @@ def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     total = ev.count()  # control-plane scalar: drain target for the bus
     work = tempfile.mkdtemp(prefix="obs_replay_")
-    write_microbatch_files_partitioned(
-        _time_sliced(ev, _OBS_BATCHES), "batch", _OBS_BATCHES, f"{work}/in"
+    stream = file_stream(
+        spark, _staged_events_log(spark, sf_dir), "ts TIMESTAMP, value DOUBLE"
     )
-    stream = file_stream(spark, f"{work}/in", "ts TIMESTAMP, value DOUBLE")
     observed = with_latency(stream).observe(
         _OBS_NAME,
         F.count(F.lit(1)).alias("n_rows"),
