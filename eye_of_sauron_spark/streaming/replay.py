@@ -32,7 +32,6 @@ from .harness import (
     file_stream,
     run_to_memory,
     staged_microbatch_log,
-    write_microbatch_files_partitioned,
 )
 from .joins import clicks_to_errors_stream_join
 from .pipeline import match_stream, run_match_rebroadcast_stream
@@ -103,13 +102,17 @@ def reorder_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream length (the reference's heap leaks instead —
     src/utils.py:50,168).
     """
-    scrambled = _scrambled_frames(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="reorder_replay_")
     # one job for all 8 batch files (the per-batch filter+write form
-    # re-ran the scramble window once per batch)
-    write_microbatch_files_partitioned(scrambled, "batch", _N_BATCHES, f"{work}/in")
+    # re-ran the scramble window once per batch), staged once per
+    # session (the scramble is a pure function of the fixture)
+    in_dir = staged_microbatch_log(
+        ("reorder_frames", os.path.realpath(sf_dir), _N_BATCHES),
+        _N_BATCHES,
+        lambda: _scrambled_frames(spark, sf_dir),
+    )
     stream = file_stream(
-        spark, f"{work}/in", "camera INT, frame_num INT, payload STRING"
+        spark, in_dir, "camera INT, frame_num INT, payload STRING"
     )
     # scope the stateful shuffle to the replay's own scale: 64 cameras
     # over 8 state partitions, not the session's 32 — each micro-batch
@@ -215,9 +218,13 @@ def stream_reorder_overflow_replay(spark: SparkSession, sf_dir: str) -> DataFram
     n_batches = _OV_FRAMES // _OV_SPAN
     work = tempfile.mkdtemp(prefix="reorder_overflow_")
     try:
-        write_microbatch_files_partitioned(frames, "batch", n_batches, f"{work}/in")
+        in_dir = staged_microbatch_log(
+            ("overflow_frames", os.path.realpath(sf_dir), n_batches),
+            n_batches,
+            lambda: frames,
+        )
         stream = file_stream(
-            spark, f"{work}/in", "camera INT, frame_num INT, payload STRING"
+            spark, in_dir, "camera INT, frame_num INT, payload STRING"
         )
         with _scoped_shuffle(spark, _OV_CAMERAS):
             emitted = run_to_memory(
@@ -339,9 +346,13 @@ def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     try:
-        write_microbatch_files_partitioned(staged, "batch", n_batches, f"{work}/in")
+        in_dir = staged_microbatch_log(
+            ("change_detect_frames", os.path.realpath(sf_dir), n_batches),
+            n_batches,
+            lambda: staged,
+        )
         stream = file_stream(
-            spark, f"{work}/in", "camera INT, frame_num INT, payload_hash STRING"
+            spark, in_dir, "camera INT, frame_num INT, payload_hash STRING"
         )
         if _has_protobuf():
             # the tws path requires the RocksDB store; scoped to this
@@ -427,6 +438,21 @@ def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
             _N_BATCHES,
         ),
     )
+
+
+def _link_batch_files(src_dir: str, dst_dir: str, lo: int, hi: int) -> None:
+    """Hardlink batch files [lo, hi) from a staged log into a per-run
+    input dir. The phased replays (restart, rebroadcast) deliver their
+    log in two tranches around a query stop; the file source discovers
+    a tranche when it is LINKED (arrival time), while the staged
+    files' own mtimes keep intra-tranche order. An absent file is an
+    empty micro-batch — skipped, same as the staging writer."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for i in range(lo, hi):
+        name = f"batch_{i:04d}.parquet"
+        src = os.path.join(src_dir, name)
+        if os.path.exists(src):
+            os.link(src, os.path.join(dst_dir, name))
 
 
 def _staged_click_error_logs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -542,12 +568,14 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deliveries = first.unionByName(redelivery)
     work = tempfile.mkdtemp(prefix="stream_dedup_replay_")
-    write_microbatch_files_partitioned(
-        deliveries, "batch", _N_BATCHES, f"{work}/in"
+    in_dir = staged_microbatch_log(
+        ("dedup_deliveries", os.path.realpath(sf_dir), _N_BATCHES),
+        _N_BATCHES,
+        lambda: deliveries,
     )
     stream = file_stream(
         spark,
-        f"{work}/in",
+        in_dir,
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP",
     )
     deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
@@ -700,17 +728,18 @@ def stream_rebroadcast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="rebroadcast_replay_")
     try:
-        write_microbatch_files_partitioned(
-            sliced, "batch", _REBROADCAST_BATCHES, f"{work}/all"
+        all_dir = staged_microbatch_log(
+            (
+                "rebroadcast_sliced",
+                os.path.realpath(sf_dir),
+                _REBROADCAST_BATCHES,
+            ),
+            _REBROADCAST_BATCHES,
+            lambda: sliced,
         )
-        os.makedirs(f"{work}/in", exist_ok=True)
         schema = "event_id BIGINT, user_id BIGINT, event_type STRING"
         # phase A: only batches 0-3 exist; targets = initial upload
-        for i in range(half):
-            os.replace(
-                f"{work}/all/batch_{i:04d}.parquet",
-                f"{work}/in/batch_{i:04d}.parquet",
-            )
+        _link_batch_files(all_dir, f"{work}/in", 0, half)
         _write_targets(ev, _REBROADCAST_THRESH_A, 0, f"{work}/targets")
         run_match_rebroadcast_stream(
             file_stream(spark, f"{work}/in", schema),
@@ -721,11 +750,7 @@ def stream_rebroadcast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the re-upload: swap the target table, then let the stream
         # resume from the SAME checkpoint over the remaining batches
         _write_targets(ev, _REBROADCAST_THRESH_B, 1, f"{work}/targets")
-        for i in range(half, _REBROADCAST_BATCHES):
-            os.replace(
-                f"{work}/all/batch_{i:04d}.parquet",
-                f"{work}/in/batch_{i:04d}.parquet",
-            )
+        _link_batch_files(all_dir, f"{work}/in", half, _REBROADCAST_BATCHES)
         run_match_rebroadcast_stream(
             file_stream(spark, f"{work}/in", schema),
             f"{work}/targets",
@@ -806,12 +831,14 @@ def kafka_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="kafka_decode_replay_")
     try:
-        write_microbatch_files_partitioned(
-            wire, "batch", _KAFKA_REPLAY_BATCHES, f"{work}/in"
+        in_dir = staged_microbatch_log(
+            ("kafka_wire", os.path.realpath(sf_dir), _KAFKA_REPLAY_BATCHES),
+            _KAFKA_REPLAY_BATCHES,
+            lambda: wire,
         )
         stream = file_stream(
             spark,
-            f"{work}/in",
+            in_dir,
             "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT",
         )
         decoded = run_to_memory(
@@ -938,14 +965,23 @@ def stream_restart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         with _scoped_shuffle(spark, _RESTART_BATCHES):
-            write_microbatch_files_partitioned(phase1, "batch", half, in_dir)
-            _run_to_file_sink()  # batches 0-3, then the query STOPS
-            # batches 4-7 land while no query is running (the
-            # partitioned writer skips the absent 0-3 dirs and keeps
-            # mtimes increasing past phase 1's)
-            write_microbatch_files_partitioned(
-                phase2, "batch", _RESTART_BATCHES, in_dir
+            # the full delivery log (original batches 0-7 plus the
+            # cross-restart redeliveries in batch 4) is staged once per
+            # session; each run hardlinks a tranche in at its phase
+            # point, so arrival still straddles the query stop
+            all_dir = staged_microbatch_log(
+                (
+                    "restart_deliveries",
+                    os.path.realpath(sf_dir),
+                    _RESTART_BATCHES,
+                ),
+                _RESTART_BATCHES,
+                lambda: phase1.unionByName(phase2),
             )
+            _link_batch_files(all_dir, in_dir, 0, half)
+            _run_to_file_sink()  # batches 0-3, then the query STOPS
+            # batches 4-7 land while no query is running
+            _link_batch_files(all_dir, in_dir, half, _RESTART_BATCHES)
             _run_to_file_sink()  # new query, same checkpoint: resumes
         # manifest-aware batch read of the sink (only committed files),
         # materialized so the temp dir can be deleted before return
@@ -1207,14 +1243,17 @@ def stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_late, F.col("batch") + _LATE_SHIFT).otherwise(F.col("batch")),
     )
     work = tempfile.mkdtemp(prefix="late_drop_replay_")
-    write_microbatch_files_partitioned(
-        routed.select("arrival", "ts", "event_type", "value"),
-        "arrival",
+    # routed arrival order is a pure function of the fixture: the
+    # staged log's batch column IS the arrival batch
+    in_dir = staged_microbatch_log(
+        ("late_drop_arrivals", os.path.realpath(sf_dir), _LATE_BATCHES),
         _LATE_BATCHES,
-        f"{work}/in",
+        lambda: routed.select(
+            F.col("arrival").alias("batch"), "ts", "event_type", "value"
+        ),
     )
     stream = file_stream(
-        spark, f"{work}/in", "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        spark, in_dir, "ts TIMESTAMP, event_type STRING, value DOUBLE"
     )
     agg = (
         stream.withWatermark("ts", _LATE_DELAY)
