@@ -24,6 +24,8 @@ here with pure SQL expressions so DuckDB can verify it).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -451,11 +453,18 @@ def _recall_of(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
     100 TB this runs over a SAMPLED query set, which is exactly what
     _QUERY_FILTER is); the join/agg sides are O(queries x k) rows, so
     everything after the two scans is broadcast-sized by
-    construction."""
-    exact = (
-        similarity_topk_cosine(spark, sf_dir)
+    construction. The exact side is IDENTICAL for every recall
+    contract over a given corpus, so it is memo-checkpointed once per
+    session (queries x k rows — broadcast-sized) instead of re-running
+    the brute-force scan once per audited tier."""
+    from ..functions.materialize import memo_checkpoint
+
+    exact = memo_checkpoint(
+        spark,
+        ("recall_exact_topk", os.path.realpath(sf_dir), _RECALL_K),
+        lambda: similarity_topk_cosine(spark, sf_dir)
         .filter(F.col("rank") <= _RECALL_K)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id"),
     )
     ann = (
         ann_fn(spark, sf_dir)
