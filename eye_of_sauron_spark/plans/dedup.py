@@ -17,6 +17,8 @@ production for ~2x hash throughput.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1081,35 +1083,50 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side loop shape: every iteration is fully distributed) and
     RAISES if the safety cap is hit — silently returning unconverged
     labels would be wrong answers, not slow ones. The oracle closes
-    the same graph with a recursive CTE."""
-    # materialize the (small) DIRECTED edge list first — symmetrizing
-    # before the checkpoint puts the whole minhash pipeline in BOTH
-    # union branches (it executes twice); after it, the swap is a
-    # projection over materialized partitions, and every propagation
-    # round joins cheap materialized data
-    from ..functions.materialize import checkpoint_tracked, unpersist_ids
+    the same graph with a recursive CTE.
 
-    edges, edge_ids = checkpoint_tracked(
-        dedup_minhash_lsh(spark, sf_dir).select(
-            F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    The labeled relation is memo-checkpointed once per session: three
+    registered queries consume it (this one, split_leakage_neardup,
+    split_group_routed), and the component relation is tiny (one row
+    per CLUSTERED doc), so re-running the minhash + propagation loop
+    per consumer bought nothing."""
+    from ..functions.materialize import (
+        checkpoint_tracked,
+        memo_checkpoint,
+        unpersist_ids,
+    )
+
+    def _build() -> DataFrame:
+        # materialize the (small) DIRECTED edge list first —
+        # symmetrizing before the checkpoint puts the whole minhash
+        # pipeline in BOTH union branches (it executes twice); after
+        # it, the swap is a projection over materialized partitions,
+        # and every propagation round joins cheap materialized data
+        edges, edge_ids = checkpoint_tracked(
+            dedup_minhash_lsh(spark, sf_dir).select(
+                F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+            )
         )
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    try:
-        labels = connected_components(sym)
-    finally:
-        # connected_components materialized its own symmetrized copy
-        # (or raised before pinning anything durable), so the directed
-        # edge checkpoint has no remaining reader either way — without
-        # the finally, a non-convergence RuntimeError strands these
-        # blocks for the session lifetime
-        unpersist_ids(spark, edge_ids)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("component"),
-        (F.col("comp") == F.col("node")).alias("is_keeper"),
+        sym = edges.unionAll(
+            edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        try:
+            labels = connected_components(sym)
+        finally:
+            # connected_components materialized its own symmetrized
+            # copy (or raised before pinning anything durable), so the
+            # directed edge checkpoint has no remaining reader either
+            # way — without the finally, a non-convergence
+            # RuntimeError strands these blocks for the session
+            unpersist_ids(spark, edge_ids)
+        return labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            (F.col("comp") == F.col("node")).alias("is_keeper"),
+        )
+
+    return memo_checkpoint(
+        spark, ("cc_components", os.path.realpath(sf_dir)), _build
     )
 
 
