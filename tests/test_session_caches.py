@@ -1,0 +1,145 @@
+"""Round-14 session-scoped caches:
+
+- streaming/harness.py::staged_microbatch_log — synthesized replay
+  logs staged once per session (the broker's log exists once for all
+  consumers; per-query re-materialization measured the harness).
+- functions/materialize.py::memo_checkpoint — keyed checkpoint memo
+  for small cross-query relations (the recall contracts' exact top-k
+  baseline, the near-dup component relation), cleared by
+  drain_session.
+
+These tests pin the cache CONTRACTS (hit identity, drain eviction,
+stale-session slot handling, hardlink tranche delivery); the consumer
+queries' values stay pinned by their DuckDB oracles in
+test_queries_oracle.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from eye_of_sauron_spark.functions.materialize import (
+    _CK_MEMO,
+    drain_session,
+    memo_checkpoint,
+)
+from eye_of_sauron_spark.streaming.harness import (
+    _STAGED_LOGS,
+    staged_microbatch_log,
+)
+from eye_of_sauron_spark.streaming.replay import _link_batch_files
+
+
+def test_staged_log_hit_returns_same_dir_and_files(spark):
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(0, 16).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias("batch")
+        )
+
+    key = ("test_staged_log", "unit", 4)
+    try:
+        d1 = staged_microbatch_log(key, 4, build)
+        files = sorted(os.listdir(d1))
+        d2 = staged_microbatch_log(key, 4, build)
+        assert d1 == d2
+        assert sorted(os.listdir(d2)) == files
+        assert builds == [1], "cache hit must not rebuild"
+        assert files == [f"batch_{i:04d}.parquet" for i in range(4)]
+        # staged data round-trips exactly
+        got = sorted(
+            r["id"] for r in spark.read.parquet(f"{d1}/*.parquet").collect()
+        )
+        assert got == list(range(16))
+    finally:
+        _STAGED_LOGS.pop(key, None)
+
+
+def test_staged_log_rebuilds_if_dir_vanished(spark):
+    import shutil
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(0, 4).select(
+            F.col("id"), F.lit(0).cast("int").alias("batch")
+        )
+
+    key = ("test_staged_log_gone", "unit", 1)
+    try:
+        d1 = staged_microbatch_log(key, 1, build)
+        shutil.rmtree(d1)
+        d2 = staged_microbatch_log(key, 1, build)
+        assert builds == [1, 1], "vanished dir must trigger a rebuild"
+        assert os.path.isdir(d2)
+    finally:
+        _STAGED_LOGS.pop(key, None)
+
+
+def test_link_batch_files_delivers_tranches(spark, tmp_path):
+    src = str(tmp_path / "staged")
+    dst = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in (0, 1, 3):  # batch 2 absent = empty micro-batch
+        with open(f"{src}/batch_{i:04d}.parquet", "wb") as f:
+            f.write(b"x")
+    _link_batch_files(src, dst, 0, 2)
+    assert sorted(os.listdir(dst)) == ["batch_0000.parquet", "batch_0001.parquet"]
+    _link_batch_files(src, dst, 2, 4)
+    assert sorted(os.listdir(dst)) == [
+        "batch_0000.parquet",
+        "batch_0001.parquet",
+        "batch_0003.parquet",
+    ]
+    # hardlink, not copy: same inode, staged mtime preserved
+    assert os.stat(f"{dst}/batch_0000.parquet").st_ino == os.stat(
+        f"{src}/batch_0000.parquet"
+    ).st_ino
+
+
+def test_memo_checkpoint_hit_and_drain_eviction(spark):
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(0, 8).select(F.col("id").alias("k"))
+
+    key = ("test_memo_ck", "unit")
+    df1 = memo_checkpoint(spark, key, build)
+    df2 = memo_checkpoint(spark, key, build)
+    assert builds == [1], "cache hit must not rebuild"
+    assert df1 is df2
+    assert sorted(r["k"] for r in df2.collect()) == list(range(8))
+    full_key = (spark.sparkContext.applicationId, *key)
+    assert full_key in _CK_MEMO
+    drain_session(spark)
+    assert full_key not in _CK_MEMO, "drain must clear the slot"
+    # post-drain rebuild works (fresh checkpoint, fresh blocks)
+    df3 = memo_checkpoint(spark, key, build)
+    assert builds == [1, 1]
+    assert sorted(r["k"] for r in df3.collect()) == list(range(8))
+    drain_session(spark)
+
+
+def test_memo_checkpoint_drops_stale_session_slots(spark):
+    """A slot keyed to a dead SparkContext must be dropped WITHOUT
+    unpersisting its ids (id collision with live blocks — see
+    _bm25_postings_shared), and must not satisfy lookups."""
+    stale_key = ("dead-app-id", "test_memo_stale", "unit")
+    _CK_MEMO[stale_key] = (None, [999999])
+    try:
+        df = memo_checkpoint(
+            spark,
+            ("test_memo_stale", "unit"),
+            lambda: spark.range(0, 3),
+        )
+        assert df.count() == 3
+        assert stale_key not in _CK_MEMO, "stale-session slot must be dropped"
+    finally:
+        _CK_MEMO.pop(stale_key, None)
+        drain_session(spark)
