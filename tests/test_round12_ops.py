@@ -104,12 +104,17 @@ def test_cluster_components_call_site_failure_frees_edges(
     edge checkpoint made at the CALL SITE must be freed too — the loop
     body's failure discipline alone leaves it stranded for the session
     lifetime (r11 ADVICE, dedup.py)."""
+    from eye_of_sauron_spark.functions.materialize import drain_session
     from eye_of_sauron_spark.plans import dedup
 
     def boom(sym, max_rounds=50):
         raise RuntimeError("planted non-convergence")
 
     monkeypatch.setattr(dedup, "connected_components", boom)
+    # clear the component-relation memo (r14): a hit from an earlier
+    # test would serve the checkpointed labels without entering the
+    # build path this test plants its failure in
+    drain_session(spark)
     before = _n_persist(spark)
     with pytest.raises(RuntimeError, match="planted non-convergence"):
         dedup.dedup_cluster_components(spark, sf_dir).write.format(
