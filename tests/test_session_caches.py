@@ -102,6 +102,50 @@ def test_link_batch_files_delivers_tranches(spark, tmp_path):
     ).st_ino
 
 
+def test_shared_events_log_equals_per_consumer_slicing(spark, sf_dir):
+    """The claim the 8-consumer sharing rests on: reading the staged
+    5-column superset log through a consumer's narrower file_stream
+    schema yields EXACTLY the rows that consumer's own per-query
+    write produced before (the batch octile is a pure function of ts,
+    so slicing is consumer-independent; parquet projects by name)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.sources import load_table
+    from eye_of_sauron_spark.streaming.replay import (
+        _staged_events_log,
+        _time_sliced,
+    )
+
+    staged = _staged_events_log(spark, sf_dir)
+    # the session-window consumer's subset, derived per-batch-file so
+    # the BATCH ASSIGNMENT is compared, not just the overall multiset
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    want = {
+        r["batch"]: r["n"]
+        for r in _time_sliced(ev, 8).groupBy("batch").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = {}
+    for i in range(8):
+        p = f"{staged}/batch_{i:04d}.parquet"
+        if os.path.exists(p):
+            df = spark.read.schema(
+                "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+            ).parquet(p)
+            got[i] = df.count()
+            assert df.columns == ["user_id", "ts", "value"]
+    assert got == want
+    # and the projected multiset matches exactly (checksum over rows)
+    sub = spark.read.schema(
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    ).parquet(f"{staged}/*.parquet")
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum(F.crc32(F.concat_ws("|", "user_id", "ts", "value"))).alias("c"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert chk(sub) == chk(ev)
+
+
 def test_memo_checkpoint_hit_and_drain_eviction(spark):
     builds = []
 
