@@ -93,8 +93,14 @@ def write_microbatch_files_partitioned(
 # log's identity (fixture dir + slicing recipe); consumers read the
 # staged files strictly read-only (their own work dirs hold only
 # checkpoints), and the file source's explicit schema projects each
-# consumer's column subset out of the shared superset file.
-_STAGED_LOGS: dict[tuple, str] = {}
+# consumer's column subset out of the shared superset file. The value
+# records the batch-file set written at staging time: an absent batch
+# file is BY DESIGN an empty micro-batch, so a bare isdir() hit check
+# could not tell "empty batch" from "a /tmp reaper deleted staged
+# files mid-process" and would silently serve a truncated log — the
+# hit path re-validates the recorded set and rebuilds on any miss
+# (r14 ADVICE).
+_STAGED_LOGS: dict[tuple, tuple[str, frozenset[str]]] = {}
 
 
 def staged_microbatch_log(
@@ -105,13 +111,22 @@ def staged_microbatch_log(
     serving every later request from the cache. ``key`` must capture
     everything the log's contents depend on (fixture dir, slicing
     recipe, batch count). Callers must treat the returned directory as
-    read-only; it is removed at process exit, never by a query."""
-    path = _STAGED_LOGS.get(key)
-    if path is not None and os.path.isdir(path):
-        return path
+    read-only; it is removed at process exit, never by a query. A
+    cache hit is served only if every batch file recorded at write
+    time is still present — otherwise the log is restaged."""
+    hit = _STAGED_LOGS.get(key)
+    if hit is not None:
+        path, expected = hit
+        if os.path.isdir(path) and all(
+            os.path.isfile(os.path.join(path, f)) for f in expected
+        ):
+            return path
     path = tempfile.mkdtemp(prefix="staged_log_")
     write_microbatch_files_partitioned(build(), "batch", n_batches, path)
-    _STAGED_LOGS[key] = path
+    written = frozenset(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    _STAGED_LOGS[key] = (path, written)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 

@@ -452,7 +452,14 @@ def _link_batch_files(src_dir: str, dst_dir: str, lo: int, hi: int) -> None:
         name = f"batch_{i:04d}.parquet"
         src = os.path.join(src_dir, name)
         if os.path.exists(src):
-            os.link(src, os.path.join(dst_dir, name))
+            try:
+                os.link(src, os.path.join(dst_dir, name))
+            except OSError:
+                # EXDEV: staged dir and per-run work dir on different
+                # filesystems (e.g. TMPDIR changed between staging and
+                # this run). copy2 preserves mtimes, so intra-tranche
+                # order survives (r14 ADVICE).
+                shutil.copy2(src, os.path.join(dst_dir, name))
 
 
 def _staged_click_error_logs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

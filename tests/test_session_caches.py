@@ -81,6 +81,37 @@ def test_staged_log_rebuilds_if_dir_vanished(spark):
         _STAGED_LOGS.pop(key, None)
 
 
+def test_staged_log_rebuilds_if_batch_file_reaped(spark):
+    """An absent batch file is by design an empty micro-batch, so the
+    hit path must distinguish 'staged empty' from 'a /tmp reaper
+    deleted staged files mid-process': partial deletion triggers a
+    full restage instead of silently serving a truncated log
+    (r14 ADVICE, harness.py)."""
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(0, 16).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias("batch")
+        )
+
+    key = ("test_staged_log_reaped", "unit", 4)
+    try:
+        d1 = staged_microbatch_log(key, 4, build)
+        os.remove(os.path.join(d1, "batch_0002.parquet"))
+        d2 = staged_microbatch_log(key, 4, build)
+        assert builds == [1, 1], "reaped batch file must trigger restage"
+        assert sorted(
+            f for f in os.listdir(d2) if f.endswith(".parquet")
+        ) == [f"batch_{i:04d}.parquet" for i in range(4)]
+        got = sorted(
+            r["id"] for r in spark.read.parquet(f"{d2}/*.parquet").collect()
+        )
+        assert got == list(range(16))
+    finally:
+        _STAGED_LOGS.pop(key, None)
+
+
 def test_link_batch_files_delivers_tranches(spark, tmp_path):
     src = str(tmp_path / "staged")
     dst = str(tmp_path / "in")

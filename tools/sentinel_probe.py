@@ -16,6 +16,7 @@ by its MEDIAN unchanged-row ratio vs the prior shipped file too.
 
 from __future__ import annotations
 
+import argparse
 import os
 import statistics
 import sys
@@ -56,12 +57,21 @@ def probe(spark, queries, sf_dir: str) -> int:
 
 
 def main() -> int:
-    sleep_s = 0
-    if "--loop" in sys.argv:
-        sleep_s = int(sys.argv[sys.argv.index("--loop") + 1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--loop",
+        type=int,
+        default=0,
+        metavar="SECONDS",
+        help="probe forever, sleeping N seconds between probes "
+        "(default: one probe and exit)",
+    )
+    args = ap.parse_args()
+    sleep_s = args.loop
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from eye_of_sauron_spark import plans
+    from eye_of_sauron_spark.functions.materialize import drain_session
     from eye_of_sauron_spark.session import get_spark
 
     spark = get_spark("sentinel-probe")
@@ -75,6 +85,9 @@ def main() -> int:
         probe(spark, queries, sf_dir)
         if not sleep_s:
             return 0
+        # hygiene: a long-lived probe loop must not accumulate session
+        # state (checkpoint memos etc.) between probes (r14 ADVICE)
+        drain_session(spark)
         time.sleep(sleep_s)
 
 
