@@ -37,8 +37,15 @@ def funnel_progress(
     out: list[str] = []
     batches = list(pdfs)
     if batches:
-        rows = pd.concat(batches).sort_values(["ts", "event_id"])
-        for et in rows["event_type"]:
+        # this callback runs once per ACTIVE USER per micro-batch, so
+        # its constant factor is the operator's hot path: skip the
+        # concat when Arrow delivered one chunk (the common case) and
+        # the sort when the group has a single row; iterate the plain
+        # list, not the Series (same total order either way)
+        rows = batches[0] if len(batches) == 1 else pd.concat(batches)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts", "event_id"])
+        for et in rows["event_type"].tolist():
             if et == "view" and not v:
                 v = 1
                 out.append("1_view")
@@ -53,16 +60,31 @@ def funnel_progress(
         yield pd.DataFrame({"user_id": user_id, "stage": out})
 
 
+FUNNEL_EVENT_TYPES = ("view", "click", "purchase")
+
+
 def funnel_stream(events: DataFrame) -> DataFrame:
     """Apply the funnel state machine to a streaming DataFrame with
     columns (user_id LONG, ts TIMESTAMP, event_id LONG,
     event_type STRING). NULL user_ids are excluded — a funnel over
     the NULL key would conflate every anonymous event into one state
     machine; both funnel forms and the replay oracle share this
-    rule, keeping them row-for-row equivalent under NULLs."""
+    rule, keeping them row-for-row equivalent under NULLs.
+
+    Event types outside the funnel's three stages are filtered BEFORE
+    the stateful operator: they are no-ops in the state machine (the
+    per-row dispatch ignores them, and a group call carrying only
+    no-op rows rewrites the state it read), so pushing the predicate
+    below the shuffle is output-identical while cutting the rows that
+    cross the Arrow boundary — on the events fixture that is ~40% of
+    the stream (signup/error). The same pushdown-through-state move a
+    relational optimizer makes through a filter-invariant operator."""
     from pyspark.sql import functions as F
 
-    events = events.filter(F.col("user_id").isNotNull())
+    events = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin(*FUNNEL_EVENT_TYPES)
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         funnel_progress,
         OUTPUT_SCHEMA,
@@ -105,8 +127,14 @@ def funnel_progress_bucketed(
     out_stages: list[str] = []
     batches = list(pdfs)
     if batches:
-        rows = pd.concat(batches).sort_values(["ts", "event_id"])
-        for uid, et in zip(rows["user_id"], rows["event_type"]):
+        rows = batches[0] if len(batches) == 1 else pd.concat(batches)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts", "event_id"])
+        # .tolist(), not .to_numpy(): the uids feed the state tuple,
+        # and numpy scalars do not survive the state pickler
+        for uid, et in zip(
+            rows["user_id"].tolist(), rows["event_type"].tolist()
+        ):
             m = st.get(uid, 0)
             if et == "view" and not m & 1:
                 m |= 1
@@ -138,7 +166,12 @@ def funnel_stream_bucketed(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     # NULL would coerce the pandas user_id column to float64 and
     # corrupt the ARRAY<LONG> state keys
     return (
-        events.filter(F.col("user_id").isNotNull())
+        events.filter(
+            F.col("user_id").isNotNull()
+            # no-op event types pushed below the shuffle, exactly as in
+            # funnel_stream — output-identical, ~40% fewer Arrow rows
+            & F.col("event_type").isin(*FUNNEL_EVENT_TYPES)
+        )
         .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
         .groupBy("bucket")
         .applyInPandasWithState(

@@ -20,8 +20,38 @@ import shutil
 import tempfile
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+_CKPT_CHECKSUM_KEY = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+
+@contextmanager
+def ephemeral_checkpoint(spark: SparkSession):
+    """Scope-disable per-file checkpoint checksums (Spark 4.1 default:
+    every offset/commit/state-delta write also writes a checksum
+    companion file through a 2-thread handoff pool). The integrity
+    feature exists to detect corruption in LONG-LIVED checkpoints on
+    remote storage; the replay harness's checkpoints are per-invocation
+    temp dirs deleted seconds after the drain, so the companion writes
+    are pure fixed cost — ~10% of an 8-batch replay's wall, measured
+    (SCALE.md "Replay-family fixed-wall profile, round 15"). The
+    session default stays untouched for any long-lived stream a user
+    starts. Restored on exit; reads of mixed checkpoints remain valid
+    either way (skipCreationIfFileMissingChecksum defaults true).
+
+    SERIAL-ONLY, same contract as replay._scoped_shuffle: the conf is
+    session-wide while the drain runs."""
+    prev = spark.conf.get(_CKPT_CHECKSUM_KEY, None)
+    spark.conf.set(_CKPT_CHECKSUM_KEY, "false")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(_CKPT_CHECKSUM_KEY, prev)
+        else:
+            spark.conf.unset(_CKPT_CHECKSUM_KEY)
 
 
 def write_microbatch_files(
@@ -149,13 +179,14 @@ def run_to_memory(
 ) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory
     sink and return the sink's contents as a DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_checkpoint(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .harness import ephemeral_checkpoint
+
 TOPIC_PREFIX = "predicted_object_raw_frame_topic_"
 
 
@@ -72,13 +74,14 @@ def run_match_rebroadcast_stream(
             .parquet(out_dir)
         )
 
-    q = (
-        events_stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(_match)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_checkpoint(events_stream.sparkSession):
+        q = (
+            events_stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_match)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_face_pipeline_stream(
@@ -97,18 +100,19 @@ def run_face_pipeline_stream(
     comes from its frame's single input row."""
     from ..ml.pipeline import face_pipeline
 
-    q = (
-        frames_stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda batch, _eid: face_pipeline(batch, targets)
-            .write.mode("append")
-            .partitionBy("camera")
-            .parquet(out_dir)
+    with ephemeral_checkpoint(frames_stream.sparkSession):
+        q = (
+            frames_stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(
+                lambda batch, _eid: face_pipeline(batch, targets)
+                .write.mode("append")
+                .partitionBy("camera")
+                .parquet(out_dir)
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def run_routed_file_sink(
@@ -116,14 +120,15 @@ def run_routed_file_sink(
 ) -> None:
     """Checkpointed availableNow drain into a topic-partitioned file
     sink (the Kafka-sink stand-in: one directory per topic)."""
-    q = (
-        routed.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda batch, _eid: batch.write.mode("append")
-            .partitionBy("topic")
-            .parquet(out_dir)
+    with ephemeral_checkpoint(routed.sparkSession):
+        q = (
+            routed.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(
+                lambda batch, _eid: batch.write.mode("append")
+                .partitionBy("topic")
+                .parquet(out_dir)
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()

@@ -29,6 +29,7 @@ from ..functions.money import cents_duck, cents_spark
 from ..plans.registry import query
 from ..sources import load_table
 from .harness import (
+    ephemeral_checkpoint,
     file_stream,
     run_to_memory,
     staged_microbatch_log,
@@ -258,6 +259,9 @@ def stream_reorder_overflow_replay(spark: SparkSession, sf_dir: str) -> DataFram
 _CD_CAMERAS = 16
 _CD_FRAMES = 200
 _CD_SPAN = 25
+_CD_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
 
 _CHANGE_DETECT_ORACLE = f"""
     WITH frames AS (
@@ -345,6 +349,7 @@ def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="change_detect_replay_")
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
+    prev_cl = spark.conf.get(_CD_CHANGELOG_KEY, None)
     try:
         in_dir = staged_microbatch_log(
             ("change_detect_frames", os.path.realpath(sf_dir), n_batches),
@@ -362,6 +367,10 @@ def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
+            # per-batch deltas instead of full RocksDB snapshot sync —
+            # the same changelog setting session.py documents for the
+            # rocksdb state_store; ~4% here, O(changed keys) at scale
+            spark.conf.set(_CD_CHANGELOG_KEY, "true")
         with _scoped_shuffle(spark, _CD_CAMERAS):
             emitted = run_to_memory(
                 drop_unchanged_frames(stream),
@@ -373,6 +382,10 @@ def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
         elif _has_protobuf():
             spark.conf.unset(key)
+        if prev_cl is not None:
+            spark.conf.set(_CD_CHANGELOG_KEY, prev_cl)
+        elif _has_protobuf():
+            spark.conf.unset(_CD_CHANGELOG_KEY)
         shutil.rmtree(work, ignore_errors=True)
     return emitted.select("camera", "frame_num", "payload_hash")
 
@@ -960,15 +973,16 @@ def stream_restart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "90 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with ephemeral_checkpoint(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         with _scoped_shuffle(spark, _RESTART_BATCHES):
@@ -1634,7 +1648,7 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _apply = make_cdc_apply(work, bucket_hist)
 
     try:
-        with _scoped_shuffle(spark, _CDC_BATCHES):
+        with _scoped_shuffle(spark, _CDC_BATCHES), ephemeral_checkpoint(spark):
             q = (
                 stream.writeStream.foreachBatch(_apply)
                 .option("checkpointLocation", f"{work}/ckpt")
@@ -1667,6 +1681,15 @@ def stream_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- stateful funnel
 
 _FUN_BATCHES = 8
+# Stateful-shuffle width for the PER-USER funnel form only. Its cost
+# is Python-side per-group work (state decode + pandas assembly per
+# active user per batch), so width = concurrent Arrow workers; on
+# local[32], 16 measured ~10% faster than 8 interleaved A/B (SCALE.md
+# "Replay-family fixed-wall profile, round 15"). The BUCKETED form
+# keeps _FUN_BATCHES: with 64 bucket-groups its per-batch Python work
+# is already amortized, and 16 measured ~9% SLOWER than 8 there (more
+# state-store commits, no Python win).
+_FUN_SHUFFLE = 16
 
 # The batch funnel's ordered-reachability counts, reach-only (the
 # streaming operator emits each user's stage completions exactly
@@ -1737,7 +1760,7 @@ def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
     )
     try:
-        with _scoped_shuffle(spark, _FUN_BATCHES):
+        with _scoped_shuffle(spark, _FUN_SHUFFLE):
             emitted = run_to_memory(
                 funnel_stream(stream),
                 f"funnel_replay_{uuid.uuid4().hex[:8]}",
@@ -1859,13 +1882,14 @@ def stream_observe_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     listener = MetricsListener(_OBS_NAME)
     spark.streams.addListener(listener)
     try:
-        q = (
-            observed.writeStream.format("noop")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with ephemeral_checkpoint(spark):
+            q = (
+                observed.writeStream.format("noop")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # listener delivery is asynchronous to query termination:
         # drain the bus until every input row has been accounted for
         # a micro-batch re-executed after a checkpoint recovery/retry
