@@ -369,7 +369,11 @@ def stream_change_detect_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # per-batch deltas instead of full RocksDB snapshot sync —
             # the same changelog setting session.py documents for the
-            # rocksdb state_store; ~4% here, O(changed keys) at scale
+            # rocksdb state_store; O(changed keys) at scale. Only
+            # reached on the tws path (r15 note: protobuf left the
+            # sandbox between rounds, so the applyInPandasWithState
+            # fallback currently runs and this branch is pytest-pinned
+            # rather than driver-exercised).
             spark.conf.set(_CD_CHANGELOG_KEY, "true")
         with _scoped_shuffle(spark, _CD_CAMERAS):
             emitted = run_to_memory(
@@ -1562,10 +1566,13 @@ def make_cdc_apply(
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        # no checkpoint: the compact re-evaluates once inside the merge
-        # write, which is cheaper than materializing it as its own job
-        # (2 jobs per micro-batch instead of 3)
-        compacted = _cdc_compact_batch(batch)
+        # persist, not checkpoint: the touched-bucket collect below is
+        # the first action anyway, so caching makes it ALSO populate
+        # the compact for the merge write — still 2 jobs per
+        # micro-batch, but the agg now evaluates once instead of twice
+        # (a localCheckpoint would be a third job; unpersisted after
+        # the write so the pinned-RDD census stays clean)
+        compacted = _cdc_compact_batch(batch).persist()
         # control-plane collect, bounded at O(n_buckets) rows (<= 64
         # distinct bucket ids, never data rows): the driver must know
         # WHICH bucket generations to open before it can build the
@@ -1575,6 +1582,7 @@ def make_cdc_apply(
             r["bucket"] for r in compacted.select("bucket").distinct().collect()
         )
         if not touched:
+            compacted.unpersist(False)
             return
         cur_paths = [
             (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
@@ -1601,6 +1609,7 @@ def make_cdc_apply(
         merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(gen_dir)
+        compacted.unpersist(False)
         for b in touched:
             bdir = f"{gen_dir}/bucket={b}"
             if os.path.isdir(bdir):
