@@ -218,3 +218,33 @@ def test_memo_checkpoint_drops_stale_session_slots(spark):
     finally:
         _CK_MEMO.pop(stale_key, None)
         drain_session(spark)
+
+
+def test_ephemeral_checkpoint_scopes_and_restores(spark):
+    """The checksum-disable is a SCOPED conf: off inside the context,
+    restored to whatever held before on every exit path (set value,
+    default/unset, nesting, exception)."""
+    from eye_of_sauron_spark.streaming.harness import (
+        _CKPT_CHECKSUM_KEY,
+        ephemeral_checkpoint,
+    )
+
+    default = spark.conf.get(_CKPT_CHECKSUM_KEY)  # 4.1 default: true
+    with ephemeral_checkpoint(spark):
+        assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "false"
+        with ephemeral_checkpoint(spark):  # nested: still off
+            assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "false"
+        assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "false"
+    assert spark.conf.get(_CKPT_CHECKSUM_KEY) == default
+
+    spark.conf.set(_CKPT_CHECKSUM_KEY, "true")
+    try:
+        try:
+            with ephemeral_checkpoint(spark):
+                assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "false"
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "true"
+    finally:
+        spark.conf.unset(_CKPT_CHECKSUM_KEY)
