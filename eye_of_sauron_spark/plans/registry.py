@@ -40,87 +40,85 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r15 rotation (50 entries = the driver's measured per-round
+    # --- r16 rotation (50 entries = the driver's measured per-round
     # budget) ---
     # BASIS (permanent rule, VERDICT r13 #1): this list is generated
     # from `python tools/evidence_ledger.py` over the CORRECTNESS_r*.json
     # files PRESENT AT ROUND START — never from the prior round's
-    # expected outcome. At r15 start the artifacts on disk are
-    # CORRECTNESS_r01..r11, r13, r14 (r12 was externally lost), and the
-    # ledger reads: 50 r14 / 50 r13 / 50 r11 / 16 r10 / 2 r09 — every
+    # expected outcome. At r16 start the artifacts on disk are
+    # CORRECTNESS_r01..r11, r13, r14, r15 (r12 was externally lost),
+    # and the ledger reads: 50 r15 / 50 r14 / 50 r13 / 18 r11 — every
     # registered query has a driver row, so the head is purely the
-    # freshness tail. 2 + 16 + 32 = 50 exactly (VERDICT r14 #1).
-    # 1) the 2 rows whose latest driver evidence is r09 (displaced from
-    # the r14 head by that round's capped new registrations).
-    "similarity_lsh_recall",
-    "similarity_sq8_recall",
-    # 2) the 16 rows whose latest driver evidence is r10.
-    "dedup_exact_keep_first",
-    "deterministic_sample_documents",
-    "funnel_view_click_purchase",
-    "heavy_hitters_users",
-    "jsonl_roundtrip_ingest",
-    "multimodal_frame_sample",
-    "semi_join_active_customers",
-    "sql_revenue_top_nations",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "window_lag_event_gaps",
-    "window_lead_transitions",
-    "window_moving_avg",
-    "window_ntile_spend_quartiles",
-    "window_rank_customers",
-    "zorder_cluster_events",
-    # 3) 32 of the 50 rows whose latest driver evidence is r11. All 50
+    # freshness tail. 18 + 32 = 50 exactly (VERDICT r15 #1).
+    # 1) the 18 rows whose latest driver evidence is r11.
+    "similarity_topk_ivf",
+    "split_leakage_neardup",
+    "split_train_val_test",
+    "stats_acctbal_by_nation",
+    "stream_dedup_replay",
+    "stream_join_replay",
+    "stream_static_match_replay",
+    "string_filename_parse",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_term_stats",
+    "text_token_counts",
+    "tfidf_top_terms",
+    "theta_join_acctbal_dominance",
+    "topk_per_group_orders",
+    "unpivot_part_metrics",
+    "window_running_total",
+    # 2) 32 of the 50 rows whose latest driver evidence is r13. All 50
     # tie on freshness, so the tiebreak is the ledger's own listing
     # order (alphabetical) — mechanical, reproducible from the
-    # artifacts, no per-name judgement calls. No new registrations
-    # this round (r15 holds the surface cap; the refresh cycle stays
-    # at 168/50 ≈ 3.4 rounds), so no displacement.
-    "approx_distinct_users",
-    "array_vector_scalars",
-    "asof_join_click_before_purchase",
-    "binary_base64_codec",
-    "conditional_agg_event_matrix",
-    "corr_hourly_click_purchase",
-    "cross_join_region_pairs",
-    "datetime_bucketing",
-    "decontam_semantic_embedding",
-    "dedup_cluster_multimodal",
-    "dedup_semantic_cells",
-    "dedup_simhash",
-    "filter_projection_pushdown",
-    "grouping_sets_mixed",
-    "histogram_value_buckets",
-    "interval_join_activity_before_error",
-    "json_extract_props",
-    "json_serialize_roundtrip",
-    "median_percentiles_value",
-    "minmax_by_segment",
-    "ml_face_pipeline",
-    "multi_distinct_by_priority",
-    "multimodal_frame_features",
-    "multimodal_resize",
-    "pack_sequences",
-    "pivot_event_counts",
-    "quality_classifier_score",
-    "reorder_replay",
-    "rollup_orders_by_month",
-    "search_hybrid_rrf",
-    "setop_except_customers",
-    "similarity_topk_cosine",
-    # --- deferred to r16: the remaining 18 r11 rows (alphabetically
-    # after similarity_topk_cosine: similarity_topk_ivf,
-    # split_leakage_neardup, split_train_val_test,
-    # stats_acctbal_by_nation, stream_dedup_replay, stream_join_replay,
-    # stream_static_match_replay, string_filename_parse,
-    # text_language_id, text_quality_score, text_repetition_score,
-    # text_term_stats, text_token_counts, tfidf_top_terms,
-    # theta_join_acctbal_dominance, topk_per_group_orders,
-    # unpivot_part_metrics, window_running_total). After r15 lands the
-    # ledger reads 50 r15 / 50 r14 / 50 r13 / 18 r11 — the r16 head is
-    # those 18 + the 32 oldest r13 rows. All deferred rows re-green
-    # locally in every pytest run (tests/test_queries_oracle.py).
+    # artifacts, no per-name judgement calls.
+    "anti_join_silent_customers",
+    "compact_small_files",
+    "correlated_subquery_above_avg",
+    "csv_roundtrip_ingest",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_span_rewrite",
+    "dedup_substring_spans",
+    "doc_fingerprint",
+    "embedding_centroid_stats",
+    "embedding_int8_quantize",
+    "flagship_purchases_by_nation",
+    "grouped_map_session_stats",
+    "join_bucketed_colocated",
+    "join_revenue_by_priority",
+    "kafka_decode_replay",
+    "kmeans_lloyd_step",
+    "mine_hard_negatives",
+    "mixture_cap_per_source",
+    "mixture_token_budget",
+    "ml_match_first_target",
+    "multimodal_audio_windows",
+    "multimodal_image_stats",
+    "orc_roundtrip_ingest",
+    "outer_join_order_count_histogram",
+    "pricing_summary",
+    "quality_filter_pipeline",
+    "routed_sink_pruned_read",
+    "sample_weighted_reservoir",
+    "schema_evolution_ingest",
+    "search_bm25_topk",
+    # --- deferred to r17: the remaining 18 r13 rows (alphabetically
+    # after search_bm25_topk: similarity_mrl_recall,
+    # similarity_pq_recall, similarity_topk_lsh,
+    # similarity_topk_mrl_rerank, similarity_topk_pq_rerank,
+    # similarity_topk_sq8_rerank, sketch_countmin_freq,
+    # split_group_routed, stream_funnel_replay,
+    # stream_observe_metrics_replay, stream_reorder_overflow_replay,
+    # stream_session_window, text_char_diversity, text_chunking,
+    # text_pii_scrub, timeseries_ohlc_resample,
+    # window_first_match_semantics, window_time_range_rolling). After
+    # r16 lands the ledger reads 50 r16 / 50 r15 / 50 r14 / 18 r13 —
+    # nothing older than r13, completing the freshness catch-up
+    # VERDICT r15 #1 asked for. All deferred rows re-green locally in
+    # every pytest run (tests/test_queries_oracle.py).
 )
 
 

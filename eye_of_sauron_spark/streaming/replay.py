@@ -1573,43 +1573,51 @@ def make_cdc_apply(
         # (a localCheckpoint would be a third job; unpersisted after
         # the write so the pinned-RDD census stays clean)
         compacted = _cdc_compact_batch(batch).persist()
-        # control-plane collect, bounded at O(n_buckets) rows (<= 64
-        # distinct bucket ids, never data rows): the driver must know
-        # WHICH bucket generations to open before it can build the
-        # merge plan. The only .collect() in the package — keep it that
-        # way; data stays executor-side everywhere else.
-        touched = sorted(
-            r["bucket"] for r in compacted.select("bucket").distinct().collect()
-        )
-        if not touched:
-            compacted.unpersist(False)
-            return
-        cur_paths = [
-            (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
-            for b in touched
-        ]
-        if read_log is not None:
-            read_log.append(
-                (epoch_id, [(b, p) for b, p in cur_paths if p is not None])
+        # everything after the persist runs under try/finally so a
+        # failing snapshot read / union / write can't leave the cached
+        # RDD pinned in the session (ADVICE r15) — the census contract
+        # is "0 pinned at session end" even on error paths
+        try:
+            # control-plane collect, bounded at O(n_buckets) rows (<= 64
+            # distinct bucket ids, never data rows): the driver must know
+            # WHICH bucket generations to open before it can build the
+            # merge plan. The only .collect() in the package — keep it
+            # that way; data stays executor-side everywhere else.
+            touched = sorted(
+                r["bucket"]
+                for r in compacted.select("bucket").distinct().collect()
             )
-        slices = [
-            s.read.parquet(p).withColumn("bucket", F.lit(b))
-            for b, p in cur_paths
-            if p is not None
-        ]
-        cur = slices[0] if slices else None
-        for sl in slices[1:]:
-            cur = cur.unionByName(sl)
-        # touched IS compacted's distinct bucket set — no filter needed
-        inc = compacted
-        merged = _cdc_merge(cur, inc) if cur is not None else inc
-        gen_dir = f"{work}/snap/gen={epoch_id}"
-        # cluster by bucket before the partitioned write: one file per
-        # bucket generation instead of shuffle_partitions x buckets
-        merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(gen_dir)
-        compacted.unpersist(False)
+            if not touched:
+                return
+            cur_paths = [
+                (b, _cdc_read_gen(bucket_hist.get(b, []), epoch_id))
+                for b in touched
+            ]
+            if read_log is not None:
+                read_log.append(
+                    (epoch_id, [(b, p) for b, p in cur_paths if p is not None])
+                )
+            slices = [
+                s.read.parquet(p).withColumn("bucket", F.lit(b))
+                for b, p in cur_paths
+                if p is not None
+            ]
+            cur = slices[0] if slices else None
+            for sl in slices[1:]:
+                cur = cur.unionByName(sl)
+            # touched IS compacted's distinct bucket set — no filter
+            # needed
+            inc = compacted
+            merged = _cdc_merge(cur, inc) if cur is not None else inc
+            gen_dir = f"{work}/snap/gen={epoch_id}"
+            # cluster by bucket before the partitioned write: one file
+            # per bucket generation instead of shuffle_partitions x
+            # buckets
+            merged.repartition(F.col("bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(gen_dir)
+        finally:
+            compacted.unpersist(False)
         for b in touched:
             bdir = f"{gen_dir}/bucket={b}"
             if os.path.isdir(bdir):

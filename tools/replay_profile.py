@@ -53,7 +53,14 @@ REPLAY_QUERIES = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--shm", action="store_true", help="TMPDIR=/dev/shm")
+    ap.add_argument(
+        "--shm",
+        action="store_true",
+        help="work dirs on /dev/shm: Python tempfiles (TMPDIR) AND "
+        "Spark's own scratch (spark.local.dir + driver java.io.tmpdir "
+        "via extraJavaOptions, applied at session build — only "
+        "effective when no JVM is already running)",
+    )
     ap.add_argument("--shuffle-cap", type=int, default=0,
                     help="cap _scoped_shuffle partition counts at N")
     ap.add_argument("--queries", type=str, default="")
@@ -63,10 +70,22 @@ def main() -> None:
                                            "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    shm_conf: dict[str, str] = {}
     if args.shm:
         os.environ["TMPDIR"] = "/dev/shm"
         import tempfile
         tempfile.tempdir = None  # re-resolve from env
+        # also move Spark's OWN scratch (shuffle spill, state-store
+        # working dirs, checkpoint tmp) — TMPDIR alone only relocates
+        # Python-side tempfiles (ADVICE r15). Both confs bind at JVM
+        # launch, so they only take effect when this process builds
+        # the session fresh (the normal CLI case).
+        os.makedirs("/dev/shm/replay_profile_local", exist_ok=True)
+        shm_conf = {
+            "spark.local.dir": "/dev/shm/replay_profile_local",
+            "spark.driver.extraJavaOptions":
+                "-Djava.io.tmpdir=/dev/shm/replay_profile_local",
+        }
 
     from eye_of_sauron_spark.session import get_spark
     from eye_of_sauron_spark import plans
@@ -78,7 +97,7 @@ def main() -> None:
         R._scoped_shuffle = lambda spark, n: orig(spark, min(n, cap))
 
     names = [n for n in args.queries.split(",") if n] or REPLAY_QUERIES
-    spark = get_spark()
+    spark = get_spark(extra_conf=shm_conf or None)
     q = plans.all_queries()
     rows: dict[str, float] = {}
     cold: dict[str, float] = {}
