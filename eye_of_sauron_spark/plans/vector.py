@@ -277,7 +277,11 @@ _IVF_NPROBE = 2
 _IVF_TOPK = 3
 
 
-_IVF_ORACLE = f"""
+def _ivf_oracle_sql(nprobe: int) -> str:
+    """The IVF oracle parameterized by ``nprobe`` — the registered
+    ``similarity_topk_ivf`` oracle is this at ``_IVF_NPROBE``; the
+    nprobe recall ladder instantiates it per rung."""
+    return f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings
         ORDER BY vec_id LIMIT {_IVF_CELLS}
@@ -301,7 +305,7 @@ _IVF_ORACLE = f"""
                    ) AS rc
             FROM embeddings q, cent c
             WHERE {_QUERY_FILTER.replace('vec_id', 'q.vec_id')}
-        ) WHERE rc <= {_IVF_NPROBE}
+        ) WHERE rc <= {nprobe}
     ),
     scored AS (
         SELECT p.qid, a.vec_id AS cid_cand,
@@ -322,19 +326,12 @@ _IVF_ORACLE = f"""
     """
 
 
-@query("similarity_topk_ivf", oracle=_IVF_ORACLE)
-def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN — the second scale path next to LSH: a small
-    deterministic centroid set (the coarse quantizer; k-means in
-    production, the 8 lowest-vec_id vectors here) partitions the
-    corpus into cells in ONE broadcast pass; each query probes its
-    nprobe=2 nearest cells and scores only those candidates.
+_IVF_ORACLE = _ivf_oracle_sql(_IVF_NPROBE)
 
-    Scale shape: assignment is a broadcast NLJ over the centroid set
-    (narrow, no corpus shuffle) followed by one equi-join on cell —
-    candidates are O(corpus x nprobe / cells). Recall/cost dials:
-    cells up, nprobe up. All ranking windows are per-query keys, so
-    the sort state is tiny everywhere."""
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF plan parameterized by ``nprobe`` (see
+    :func:`similarity_topk_ivf` for the full shape discussion)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = (
         emb.orderBy("vec_id")
@@ -398,7 +395,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.array_sort(_cell_scores(F.col("embedding")), _by_cos_desc),
                     1,
-                    _IVF_NPROBE,
+                    nprobe,
                 )["cid"]
             ).alias("cell"),
         )
@@ -418,6 +415,23 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@query("similarity_topk_ivf", oracle=_IVF_ORACLE)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the second scale path next to LSH: a small
+    deterministic centroid set (the coarse quantizer; k-means in
+    production, the 8 lowest-vec_id vectors here) partitions the
+    corpus into cells in ONE broadcast pass; each query probes its
+    nprobe=2 nearest cells and scores only those candidates.
+
+    Scale shape: assignment is a broadcast NLJ over the centroid set
+    (narrow, no corpus shuffle) followed by one equi-join on cell —
+    candidates are O(corpus x nprobe / cells). Recall/cost dials:
+    cells up, nprobe up (the dial itself is measured by
+    similarity_ivf_nprobe_ladder). All ranking windows are per-query
+    keys, so the sort state is tiny everywhere."""
+    return _ivf_topk(spark, sf_dir, _IVF_NPROBE)
 
 
 # ------------------------------------------------------ recall audits
@@ -501,6 +515,67 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the accuracy/cost dial of every ANN path a measured,
     hash-checked number."""
     return _recall_of(spark, sf_dir, similarity_topk_ivf)
+
+
+_IVF_LADDER_NPROBES = (1, 2, 4)
+
+# one recall block per rung, each reusing the registered machinery
+# verbatim (_recall_oracle over _ivf_oracle_sql(nprobe)) — nested
+# WITH-in-CTE is the same driver-proven pattern every recall contract
+# already uses
+_IVF_LADDER_ORACLE = (
+    "WITH "
+    + ",\n    ".join(
+        f"lad{np} AS ({_recall_oracle(_ivf_oracle_sql(np))})"
+        for np in _IVF_LADDER_NPROBES
+    )
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({np} AS INT) AS nprobe, query_id, n_hits, recall "
+        f"FROM lad{np}"
+        for np in _IVF_LADDER_NPROBES
+    )
+)
+
+
+@query("similarity_ivf_nprobe_ladder", oracle=_IVF_LADDER_ORACLE)
+def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy/cost DIAL as one measured relation: per-query
+    recall@3 at nprobe = 1, 2, 4 over the same 8-cell coarse quantizer
+    (VERDICT r15 #5's named candidate). One row per (nprobe, query) —
+    the registered nprobe=2 contract (similarity_ivf_recall) is the
+    middle rung, so capacity planning reads the whole curve instead of
+    a point: candidates scale as O(corpus x nprobe / cells) while
+    recall climbs toward the exact scan.
+
+    Recall is MONOTONE non-decreasing in nprobe by construction: a
+    larger probe set only GROWS each query's candidate pool, candidates
+    are scored by exact cosine with the same (cos DESC, cid ASC) tie
+    rule as the brute-force baseline, and any candidate that would
+    evict an exact-top-3 member from the ANN top-3 must outrank it
+    globally — i.e. it IS an exact-top-3 member itself
+    (pytest-pinned per query, tests/test_round16_ops.py).
+
+    Scale shape: the exact side is the session-memoized brute-force
+    baseline (ONE computation shared by every recall contract, riding
+    a sampled query set at production scale); each rung re-runs only
+    the IVF plan — broadcast centroid row, narrow argmax assignment,
+    one cell equi-join — and everything after the scans is
+    O(queries x k) broadcast-sized. At 100 TB the three rungs are
+    three passes over the same cell-partitioned candidate layout, not
+    three corpus shuffles."""
+    out = None
+    for np_ in _IVF_LADDER_NPROBES:
+        tier = _recall_of(
+            spark, sf_dir, lambda s, d, n=np_: _ivf_topk(s, d, n)
+        ).select(
+            F.lit(np_).cast("int").alias("nprobe"),
+            "query_id",
+            "n_hits",
+            "recall",
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
 
 
 # --------------------------------------------------------- quantization
