@@ -75,7 +75,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "topk_per_group_orders",
     "unpivot_part_metrics",
     "window_running_total",
-    # 2) 32 of the 50 rows whose latest driver evidence is r13. All 50
+    # 2) 31 of the 50 rows whose latest driver evidence is r13 (32
+    # slots minus the one the new registration above took). All 50
     # tie on freshness, so the tiebreak is the ledger's own listing
     # order (alphabetical) — mechanical, reproducible from the
     # artifacts, no per-name judgement calls.

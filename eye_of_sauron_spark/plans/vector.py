@@ -439,6 +439,18 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_K = 3  # == _LSH_TOPK == _IVF_TOPK, so both ANN paths rank 3 deep
 
 
+def _recall_select(exact_k: str, ann_k: str) -> str:
+    """The recall@k join/agg over two ``(query_id, cand_id)`` CTEs —
+    shared by every standalone recall oracle and the nprobe ladder so
+    the compare semantics live in exactly one place."""
+    return f"""SELECT e.query_id,
+           CAST(count(a.cand_id) AS INT) AS n_hits,
+           round(count(a.cand_id) / {_RECALL_K}.0, 6) AS recall
+    FROM {exact_k} e LEFT JOIN {ann_k} a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id"""
+
+
 def _recall_oracle(ann_oracle: str) -> str:
     """recall@k of an ANN result against the exact brute-force top-k,
     REUSING the registered oracles as nested CTEs — both engines
@@ -452,12 +464,7 @@ def _recall_oracle(ann_oracle: str) -> str:
          ann_k AS (
              SELECT query_id, cand_id FROM ann_full WHERE rank <= {_RECALL_K}
          )
-    SELECT e.query_id,
-           CAST(count(a.cand_id) AS INT) AS n_hits,
-           round(count(a.cand_id) / {_RECALL_K}.0, 6) AS recall
-    FROM exact_k e LEFT JOIN ann_k a
-      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
-    GROUP BY e.query_id
+    {_recall_select('exact_k', 'ann_k')}
     """
 
 
@@ -519,20 +526,27 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_LADDER_NPROBES = (1, 2, 4)
 
-# one recall block per rung, each reusing the registered machinery
-# verbatim (_recall_oracle over _ivf_oracle_sql(nprobe)) — nested
-# WITH-in-CTE is the same driver-proven pattern every recall contract
-# already uses
+# ONE shared exact-baseline CTE feeding a per-rung (ann, recall)
+# block — the expensive all-pairs exact scan runs once, mirroring the
+# Spark side's session memo (nested WITH-in-CTE is the same
+# driver-proven pattern every recall contract already uses)
 _IVF_LADDER_ORACLE = (
-    "WITH "
+    f"""WITH exact_full AS ({_COSINE_ORACLE}),
+    exact_k AS (
+        SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
+    ),
+    """
     + ",\n    ".join(
-        f"lad{np} AS ({_recall_oracle(_ivf_oracle_sql(np))})"
+        f"ann{np} AS ({_ivf_oracle_sql(np)}),\n"
+        f"    annk{np} AS (SELECT query_id, cand_id FROM ann{np} "
+        f"WHERE rank <= {_RECALL_K}),\n"
+        f"    rec{np} AS ({_recall_select('exact_k', f'annk{np}')})"
         for np in _IVF_LADDER_NPROBES
     )
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT CAST({np} AS INT) AS nprobe, query_id, n_hits, recall "
-        f"FROM lad{np}"
+        f"FROM rec{np}"
         for np in _IVF_LADDER_NPROBES
     )
 )
