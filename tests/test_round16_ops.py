@@ -1,6 +1,15 @@
 """Round-16 additions.
 
-Covers plans/vector.py::similarity_ivf_nprobe_ladder — the IVF
+Covers the two ANN dial ladders:
+
+plans/vector.py::similarity_lsh_plane_ladder — recall@3 at 4/8/16
+hyperplanes (nested prefixes of the same plane family): per-query
+recall monotone non-INCREASING in plane count (each added plane
+refines the bucket partition, shrinking the candidate pool under
+exact-cosine scoring), middle rung row-identical to
+similarity_lsh_recall, no non-broadcast cartesian.
+
+plans/vector.py::similarity_ivf_nprobe_ladder — the IVF
 accuracy/cost dial registered as one relation (recall@3 at
 nprobe = 1, 2, 4 over the same 8-cell coarse quantizer):
 
@@ -29,8 +38,11 @@ from pyspark.sql import functions as F
 
 from eye_of_sauron_spark.plans.vector import (
     _IVF_LADDER_NPROBES,
+    _LSH_LADDER_PLANES,
     similarity_ivf_nprobe_ladder,
     similarity_ivf_recall,
+    similarity_lsh_plane_ladder,
+    similarity_lsh_recall,
 )
 
 
@@ -82,6 +94,61 @@ def test_ladder_top_rung_improves_on_fixture(spark, sf_dir):
 def test_ladder_plan_no_unbroadcast_cartesian(spark, sf_dir):
     plan = (
         similarity_ivf_nprobe_ladder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------- LSH plane-count ladder
+
+
+def _lsh_ladder_rows(spark, sf_dir):
+    return {
+        (r["n_planes"], r["query_id"]): (r["n_hits"], r["recall"])
+        for r in similarity_lsh_plane_ladder(spark, sf_dir).collect()
+    }
+
+
+def test_lsh_ladder_shape_and_monotone_nonincreasing(spark, sf_dir):
+    rows = _lsh_ladder_rows(spark, sf_dir)
+    planes = sorted({p for p, _ in rows})
+    assert planes == sorted(_LSH_LADDER_PLANES)
+    qids = {q for _, q in rows}
+    assert len(rows) == len(planes) * len(qids) and len(qids) > 0
+    for q in qids:
+        seq = [rows[(p, q)][1] for p in planes]
+        assert all(a >= b - 1e-12 for a, b in zip(seq, seq[1:])), (q, seq)
+
+
+def test_lsh_ladder_middle_rung_matches_registered_contract(spark, sf_dir):
+    rows = _lsh_ladder_rows(spark, sf_dir)
+    standalone = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in similarity_lsh_recall(spark, sf_dir).collect()
+    }
+    mid = {q: v for (p, q), v in rows.items() if p == 8}
+    assert mid == standalone
+
+
+def test_lsh_ladder_coarse_rung_improves_on_fixture(spark, sf_dir):
+    """Mirror of the IVF pin with the direction flipped: on the
+    shipped fixture the COARSEST bucketing (fewest planes, biggest
+    candidate pools) strictly beats the finest on MEAN recall."""
+    df = (
+        similarity_lsh_plane_ladder(spark, sf_dir)
+        .groupBy("n_planes")
+        .agg(F.avg("recall").alias("m"))
+    )
+    means = {r["n_planes"]: r["m"] for r in df.collect()}
+    lo, hi = min(_LSH_LADDER_PLANES), max(_LSH_LADDER_PLANES)
+    assert means[lo] > means[hi]
+
+
+def test_lsh_ladder_plan_no_unbroadcast_cartesian(spark, sf_dir):
+    plan = (
+        similarity_lsh_plane_ladder(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
