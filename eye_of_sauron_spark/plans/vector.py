@@ -512,6 +512,56 @@ def _recall_of(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
     )
 
 
+def _ladder_oracle(dial_col: str, rungs, oracle_sql_fn) -> str:
+    """Shared dial-ladder oracle scaffolding (IVF nprobe + LSH plane
+    ladders): ONE shared exact-baseline CTE — the expensive all-pairs
+    scan runs once, mirroring the Spark side's session memo — plus an
+    (ann, annk, rec) block per rung, UNION ALL tagged by ``dial_col``.
+    Nested WITH-in-CTE is the same driver-proven pattern every recall
+    contract already uses."""
+    return (
+        f"""WITH exact_full AS ({_COSINE_ORACLE}),
+    exact_k AS (
+        SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
+    ),
+    """
+        + ",\n    ".join(
+            f"ann{r} AS ({oracle_sql_fn(r)}),\n"
+            f"    annk{r} AS (SELECT query_id, cand_id FROM ann{r} "
+            f"WHERE rank <= {_RECALL_K}),\n"
+            f"    rec{r} AS ({_recall_select('exact_k', f'annk{r}')})"
+            for r in rungs
+        )
+        + "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS {dial_col}, query_id, n_hits, "
+            f"recall FROM rec{r}"
+            for r in rungs
+        )
+    )
+
+
+def _ladder_of(
+    spark: SparkSession, sf_dir: str, dial_col: str, rungs, topk_fn
+) -> DataFrame:
+    """Shared dial-ladder plan: per-rung :func:`_recall_of` over
+    ``topk_fn(spark, sf_dir, rung)``, tagged with the dial value and
+    unioned — each rung re-runs the REGISTERED machinery byte-for-byte
+    so the middle-rung row-identity pins are true by construction."""
+    out = None
+    for r_ in rungs:
+        tier = _recall_of(
+            spark, sf_dir, lambda s, d, r=r_: topk_fn(s, d, r)
+        ).select(
+            F.lit(r_).cast("int").alias(dial_col),
+            "query_id",
+            "n_hits",
+            "recall",
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
+
+
 @query("similarity_lsh_recall", oracle=_recall_oracle(_LSH_ORACLE))
 def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the hyperplane-LSH path vs the exact top-3, per
@@ -533,31 +583,12 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_of(spark, sf_dir, similarity_topk_ivf)
 
 
-_IVF_LADDER_NPROBES = (1, 2, 4)
+# middle rung == _IVF_NPROBE, so the registered contract is a ladder
+# row by construction, not by coincidence of literals
+_IVF_LADDER_NPROBES = (1, _IVF_NPROBE, 2 * _IVF_NPROBE)
 
-# ONE shared exact-baseline CTE feeding a per-rung (ann, recall)
-# block — the expensive all-pairs exact scan runs once, mirroring the
-# Spark side's session memo (nested WITH-in-CTE is the same
-# driver-proven pattern every recall contract already uses)
-_IVF_LADDER_ORACLE = (
-    f"""WITH exact_full AS ({_COSINE_ORACLE}),
-    exact_k AS (
-        SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
-    ),
-    """
-    + ",\n    ".join(
-        f"ann{np} AS ({_ivf_oracle_sql(np)}),\n"
-        f"    annk{np} AS (SELECT query_id, cand_id FROM ann{np} "
-        f"WHERE rank <= {_RECALL_K}),\n"
-        f"    rec{np} AS ({_recall_select('exact_k', f'annk{np}')})"
-        for np in _IVF_LADDER_NPROBES
-    )
-    + "\n    "
-    + "\n    UNION ALL ".join(
-        f"SELECT CAST({np} AS INT) AS nprobe, query_id, n_hits, recall "
-        f"FROM rec{np}"
-        for np in _IVF_LADDER_NPROBES
-    )
+_IVF_LADDER_ORACLE = _ladder_oracle(
+    "nprobe", _IVF_LADDER_NPROBES, _ivf_oracle_sql
 )
 
 
@@ -587,43 +618,15 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(queries x k) broadcast-sized. At 100 TB the three rungs are
     three passes over the same cell-partitioned candidate layout, not
     three corpus shuffles."""
-    out = None
-    for np_ in _IVF_LADDER_NPROBES:
-        tier = _recall_of(
-            spark, sf_dir, lambda s, d, n=np_: _ivf_topk(s, d, n)
-        ).select(
-            F.lit(np_).cast("int").alias("nprobe"),
-            "query_id",
-            "n_hits",
-            "recall",
-        )
-        out = tier if out is None else out.unionByName(tier)
-    return out
+    return _ladder_of(spark, sf_dir, "nprobe", _IVF_LADDER_NPROBES, _ivf_topk)
 
 
-_LSH_LADDER_PLANES = (4, 8, 16)
+# middle rung == _N_PLANES, so the registered contract is a ladder
+# row by construction; rungs are nested prefixes of the one family
+_LSH_LADDER_PLANES = (_N_PLANES // 2, _N_PLANES, 2 * _N_PLANES)
 
-# same shape as the IVF ladder: ONE shared exact-baseline CTE, one
-# (ann, recall) block per plane-count rung
-_LSH_LADDER_ORACLE = (
-    f"""WITH exact_full AS ({_COSINE_ORACLE}),
-    exact_k AS (
-        SELECT query_id, cand_id FROM exact_full WHERE rank <= {_RECALL_K}
-    ),
-    """
-    + ",\n    ".join(
-        f"ann{p} AS ({_lsh_oracle_sql(p)}),\n"
-        f"    annk{p} AS (SELECT query_id, cand_id FROM ann{p} "
-        f"WHERE rank <= {_RECALL_K}),\n"
-        f"    rec{p} AS ({_recall_select('exact_k', f'annk{p}')})"
-        for p in _LSH_LADDER_PLANES
-    )
-    + "\n    "
-    + "\n    UNION ALL ".join(
-        f"SELECT CAST({p} AS INT) AS n_planes, query_id, n_hits, recall "
-        f"FROM rec{p}"
-        for p in _LSH_LADDER_PLANES
-    )
+_LSH_LADDER_ORACLE = _ladder_oracle(
+    "n_planes", _LSH_LADDER_PLANES, _lsh_oracle_sql
 )
 
 
@@ -656,19 +659,16 @@ def similarity_lsh_plane_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(queries x k) broadcast-sized. At 100 TB the rungs are three
     signature passes over the same scan, never an all-pairs join;
     the 4-plane rung's buckets are corpus/16-sized, which is exactly
-    the candidate-volume ceiling the dial exists to expose."""
-    out = None
-    for p_ in _LSH_LADDER_PLANES:
-        tier = _recall_of(
-            spark, sf_dir, lambda s, d, p=p_: _lsh_topk(s, d, p)
-        ).select(
-            F.lit(p_).cast("int").alias("n_planes"),
-            "query_id",
-            "n_hits",
-            "recall",
-        )
-        out = tier if out is None else out.unionByName(tier)
-    return out
+    the candidate-volume ceiling the dial exists to expose. (The
+    nested-prefix property WOULD let one 16-plane pass derive every
+    rung's signature as sig_p = sig_16 mod 2^p; deliberately not
+    taken — each rung re-runs the registered _lsh_topk machinery
+    byte-for-byte so the middle-rung row-identity pin is structural,
+    and an audit relation values independent rungs over one saved
+    narrow pass.)"""
+    return _ladder_of(
+        spark, sf_dir, "n_planes", _LSH_LADDER_PLANES, _lsh_topk
+    )
 
 
 # --------------------------------------------------------- quantization
