@@ -518,7 +518,18 @@ def _ladder_oracle(dial_col: str, rungs, oracle_sql_fn) -> str:
     scan runs once, mirroring the Spark side's session memo — plus an
     (ann, annk, rec) block per rung, UNION ALL tagged by ``dial_col``.
     Nested WITH-in-CTE is the same driver-proven pattern every recall
-    contract already uses."""
+    contract already uses.
+
+    Rungs must be unique, positive and ascending: per-rung CTEs are
+    NAMED by dial value (ann{r}/annk{r}/rec{r}), so a duplicate rung
+    would generate duplicate CTE names and broken SQL — a future
+    constant change (e.g. _IVF_NPROBE = 1 → rungs (1, 1, 2)) should
+    fail HERE at import, not at oracle time (ADVICE r16)."""
+    rungs = tuple(rungs)
+    assert len(set(rungs)) == len(rungs), f"duplicate ladder rungs {rungs}"
+    assert all(r > 0 for r in rungs) and list(rungs) == sorted(rungs), (
+        f"ladder rungs must be positive ascending, got {rungs}"
+    )
     return (
         f"""WITH exact_full AS ({_COSINE_ORACLE}),
     exact_k AS (

@@ -71,10 +71,17 @@ def ladder(request):
 
 
 def _rows(ladder_fn, dial_col, spark, sf_dir):
-    return {
-        (r[dial_col], r["query_id"]): (r["n_hits"], r["recall"])
+    # collect to a LIST first and pin key uniqueness explicitly — a
+    # dict comprehension would silently collapse a rung emitting the
+    # same (dial, query_id) twice, and the downstream shape assertion
+    # could not see it (ADVICE r16)
+    collected = [
+        ((r[dial_col], r["query_id"]), (r["n_hits"], r["recall"]))
         for r in ladder_fn(spark, sf_dir).collect()
-    }
+    ]
+    keys = [k for k, _ in collected]
+    assert len(keys) == len(set(keys)), "duplicate (dial, query_id) rows"
+    return dict(collected)
 
 
 def test_ladder_shape_and_monotone_recall(spark, sf_dir, ladder):

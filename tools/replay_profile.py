@@ -81,10 +81,26 @@ def main() -> None:
         # launch, so they only take effect when this process builds
         # the session fresh (the normal CLI case).
         os.makedirs("/dev/shm/replay_profile_local", exist_ok=True)
+        # APPEND to any driver Java options supplied via
+        # spark-defaults.conf / SPARK_DRIVER_JAVA_OPTS rather than
+        # clobbering them (ADVICE r16)
+        existing_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS", "").strip()
+        defaults = os.path.join(
+            os.environ.get("SPARK_CONF_DIR")
+            or os.path.join(os.environ.get("SPARK_HOME", ""), "conf"),
+            "spark-defaults.conf",
+        )
+        if os.path.isfile(defaults):
+            with open(defaults) as fh:
+                for line in fh:
+                    parts = line.strip().split(None, 1)
+                    if parts[:1] == ["spark.driver.extraJavaOptions"]:
+                        existing_opts = f"{existing_opts} {parts[1]}".strip()
+        tmpdir_opt = "-Djava.io.tmpdir=/dev/shm/replay_profile_local"
         shm_conf = {
             "spark.local.dir": "/dev/shm/replay_profile_local",
             "spark.driver.extraJavaOptions":
-                "-Djava.io.tmpdir=/dev/shm/replay_profile_local",
+                f"{existing_opts} {tmpdir_opt}".strip(),
         }
 
     from eye_of_sauron_spark.session import get_spark
@@ -120,6 +136,13 @@ def main() -> None:
         "cold_sum": round(sum(cold.values()), 2),
         "rows": rows,
     }))
+    if args.shm:
+        # RAM-backed tmpfs accumulates shuffle spill across repeated
+        # profiling runs — reclaim it once the JVM is down (ADVICE r16)
+        import shutil
+
+        spark.stop()
+        shutil.rmtree("/dev/shm/replay_profile_local", ignore_errors=True)
 
 
 if __name__ == "__main__":
