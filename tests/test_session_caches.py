@@ -248,3 +248,37 @@ def test_ephemeral_checkpoint_scopes_and_restores(spark):
         assert spark.conf.get(_CKPT_CHECKSUM_KEY) == "true"
     finally:
         spark.conf.unset(_CKPT_CHECKSUM_KEY)
+
+
+def test_io_sentinel_probe_restores_session_state(spark):
+    """The bench-window IO probe (tools/sentinel_probe.py::io_probe)
+    drains a checkpointed micro-stream on the SHARED session, so it
+    carries the same SERIAL-ONLY restore-on-exit contract as the
+    replay family (VERDICT r16 #6): shuffle-partition and
+    checkpoint-checksum confs restored, the memory-sink temp view
+    dropped, and the throwaway checkpoint dir gone — while the drain
+    itself returns a positive wall."""
+    import glob
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.sentinel_probe import io_probe
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    checksum_key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    checksum_before = spark.conf.get(checksum_key)
+    views_before = {v.name for v in spark.catalog.listTables()}
+
+    dt = io_probe(spark)
+    assert dt > 0
+
+    assert spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
+    assert spark.conf.get(checksum_key) == checksum_before
+    views_after = {v.name for v in spark.catalog.listTables()}
+    assert not {
+        v for v in views_after - views_before if v.startswith("io_sentinel_")
+    }, "memory-sink temp view leaked"
+    assert not glob.glob(
+        os.path.join(tempfile.gettempdir(), "io_sentinel_ckpt_*")
+    ), "throwaway checkpoint dir leaked"
