@@ -190,7 +190,12 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle_sql(n_bands: int) -> str:
+    """The MinHash-LSH near-dup oracle, parameterized by band count
+    at fixed _MINHASH_K hashes (rows per band = K / n_bands). The
+    registered single-point oracle below is this at _MINHASH_BANDS,
+    byte-for-byte; the band-count ladder reuses it per rung."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest({shingles_duck('text')}) AS shingle
         FROM documents
@@ -206,7 +211,7 @@ _MINHASH_ORACLE = f"""
         GROUP BY doc_id, s.s
     ),
     bands AS (
-        SELECT doc_id, CAST(floor(seed / {_MINHASH_K // _MINHASH_BANDS}) AS BIGINT)
+        SELECT doc_id, CAST(floor(seed / {_MINHASH_K // n_bands}) AS BIGINT)
                    AS band,
                string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
         FROM minh GROUP BY doc_id, band
@@ -233,14 +238,21 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _band_sigs(hs):
-    """All 8 banded signatures from a PRE-HASHED shingle array (one
-    md5 per shingle, materialized as its own projection so it is
-    computed once, not once per minhash function): every function is
-    then 3 integer ops over the hash array — no per-shingle explode,
-    no groupBy, no k-fold rehashing. Signature computation shuffles
-    nothing at any scale."""
-    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+_MINHASH_ORACLE = _minhash_oracle_sql(_MINHASH_BANDS)
+
+
+def _band_sigs(hs, n_bands: int = _MINHASH_BANDS):
+    """All ``n_bands`` banded signatures from a PRE-HASHED shingle
+    array (one md5 per shingle, materialized as its own projection so
+    it is computed once, not once per minhash function): every
+    function is then 3 integer ops over the hash array — no
+    per-shingle explode, no groupBy, no k-fold rehashing. Signature
+    computation shuffles nothing at any scale. Band ``b`` always
+    covers the contiguous seed range [b*K/n_bands, (b+1)*K/n_bands),
+    so a coarser layout's bands are unions of a finer layout's bands
+    whenever the coarse count divides the fine count — the nesting
+    the band-count ladder's monotonicity proof rides."""
+    rows_per_band = _MINHASH_K // n_bands
 
     def mh(seed: int):
         return F.array_min(F.transform(hs, lambda h: minhash_u_spark(seed, h)))
@@ -250,26 +262,17 @@ def _band_sigs(hs):
             F.concat_ws(
                 "|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]
             )
-            for b in range(_MINHASH_BANDS)
+            for b in range(n_bands)
         ]
     )
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection: shingle -> 16 min-hashes ->
-    8 banded signatures -> bucket equi-join for candidates -> exact
-    jaccard verification >= 0.8.
-
-    Scale shape: signatures are computed per-document with
-    higher-order folds (zero shuffle, O(docs x 8) band rows out); the
-    candidate join keys on (band, signature) so only colliding
-    buckets meet — never an all-pairs comparison; verification is
-    array_intersect on the two shingle arrays, joined only for the
-    (few) candidate pairs. The reference has no dedup at all; its
-    nearest analog is 'smart' frame skipping
-    (frame_producer.py:110-119), exact-dup dropping at the source.
-    """
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int = _MINHASH_BANDS
+) -> DataFrame:
+    """The MinHash-LSH pipeline at a given band count (fixed
+    _MINHASH_K hashes) — the registered query below is this at
+    _MINHASH_BANDS; the band-count ladder re-runs it per rung."""
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     # the non-empty-shingles gate is stated on the TOKEN count (tokens
     # >= shingle width <=> shingles non-empty): pushdown clones scan-
@@ -286,7 +289,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size/notnull constraint would re-evaluate all 8 band signatures
     # below the exchange (the band array is never empty — 8 literals)
     bands = hashed.select(
-        "doc_id", F.posexplode_outer(_band_sigs(F.col("hs"))).alias("band", "sig")
+        "doc_id",
+        F.posexplode_outer(_band_sigs(F.col("hs"), n_bands)).alias("band", "sig"),
     )
     a = bands.select(
         F.col("doc_id").alias("da"), F.col("band").alias("b1"), F.col("sig").alias("s1")
@@ -320,6 +324,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 6).alias("jaccard"),
         )
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle -> 16 min-hashes ->
+    8 banded signatures -> bucket equi-join for candidates -> exact
+    jaccard verification >= 0.8.
+
+    Scale shape: signatures are computed per-document with
+    higher-order folds (zero shuffle, O(docs x 8) band rows out); the
+    candidate join keys on (band, signature) so only colliding
+    buckets meet — never an all-pairs comparison; verification is
+    array_intersect on the two shingle arrays, joined only for the
+    (few) candidate pairs. The reference has no dedup at all; its
+    nearest analog is 'smart' frame skipping
+    (frame_producer.py:110-119), exact-dup dropping at the source.
+    """
+    return _minhash_lsh_pairs(spark, sf_dir, _MINHASH_BANDS)
 
 
 # Document-frequency cutoff for the postings index: a shingle shared
@@ -513,6 +535,117 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.col("la").isNotNull().alias("in_candidates"),
     )
+
+
+# Band-count dial at fixed _MINHASH_K hashes: rungs sweep rows-per-band
+# 16/2/1, i.e. the three banding regimes — one pure-conjunctive band
+# (match prob j^16: high precision, collapsed recall), the registered
+# balanced 8x2 layout, and 16 disjunctive single-row bands (match prob
+# 1-(1-j)^16: candidate volume ceiling). The natural 'half the
+# registered count' bottom rung (4 bands of 4 rows) is deliberately
+# NOT used: measured on the fixtures it already reads recall 1.0 at
+# every scale (sf0.001/0.01/0.1 — the fixture's true pairs sit at
+# j >= 0.8 where 1-(1-j^4)^4 > 0.87), so a (4, 8, 16) ladder would be
+# flat and expose nothing; rung 1 is where the fixture's knee lives
+# (measured 0.64 at sf0.01).
+_MINHASH_LADDER_BANDS = (1, _MINHASH_BANDS, _MINHASH_K)
+
+# the monotonicity proof needs each rung to DIVIDE the next (coarse
+# bands = unions of fine bands), every rung to divide K, and — like
+# the ANN ladders (ADVICE r16) — unique ascending rungs so the
+# per-rung oracle CTE names never collide
+assert list(_MINHASH_LADDER_BANDS) == sorted(set(_MINHASH_LADDER_BANDS))
+assert all(_MINHASH_K % b == 0 for b in _MINHASH_LADDER_BANDS)
+assert all(
+    b2 % b1 == 0
+    for b1, b2 in zip(_MINHASH_LADDER_BANDS, _MINHASH_LADDER_BANDS[1:])
+)
+
+
+def _minhash_ladder_oracle() -> str:
+    rungs = _MINHASH_LADDER_BANDS
+    return (
+        f"""WITH exact AS ({_NGRAM_ORACLE}),
+    """
+        + ",\n    ".join(
+            f"lsh{b} AS ({_minhash_oracle_sql(b)})" for b in rungs
+        )
+        + "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({b} AS INT) AS n_bands, e.doc_a, e.doc_b, "
+            f"e.jaccard, (l{b}.doc_a IS NOT NULL) AS in_candidates "
+            f"FROM exact e LEFT JOIN lsh{b} l{b} "
+            f"ON l{b}.doc_a = e.doc_a AND l{b}.doc_b = e.doc_b"
+            for b in rungs
+        )
+    )
+
+
+@query("dedup_minhash_band_ladder", oracle=_minhash_ladder_oracle())
+def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate-volume/recall DIAL as one measured
+    relation — the text-dedup mirror of the ANN ladders
+    (similarity_ivf_nprobe_ladder / similarity_lsh_plane_ladder, per
+    VERDICT r16 #3): for every exact ground-truth near-dup pair
+    (n-gram jaccard >= 0.8), an ``in_candidates`` flag at band count
+    1, 8 and 16 over the same fixed family of _MINHASH_K = 16 hash
+    functions. One row per (n_bands, pair); the registered 8-band
+    contract (dedup_minhash_recall) is the middle rung by
+    construction, so the S-curve every production dedup tunes —
+    candidate-pair volume vs recall — reads as a curve instead of a
+    point: a j-similar pair band-matches with prob 1-(1-j^(K/b))^b,
+    while candidate volume grows with b as bucket keys shorten.
+
+    ``in_candidates`` is MONOTONE non-decreasing in band count by
+    construction: band b of a coarse layout covers the contiguous
+    seed range [b*K/n, (b+1)*K/n), so when n divides n' every coarse
+    band is a union of fine bands, and a coarse-band signature match
+    (all K/n minhashes equal — the '|' join of integers decomposes
+    uniquely) forces a signature match on every fine band inside it.
+    Candidate sets therefore NEST: cand(1) ⊆ cand(8) ⊆ cand(16) —
+    the rung chain's pairwise divisibility is asserted at import.
+    Verification cannot break the nesting: a ground-truth pair has
+    full-shingle jaccard >= its postings-capped audit jaccard >= 0.8,
+    so it passes the >= 0.8 verify filter whenever its bands collide
+    (pytest-pinned per pair, tests/test_round17_ops.py).
+
+    Scale shape: the exact side is the inverted-index audit baseline
+    (dedup_ngram_jaccard), session-memoized once for the ladder —
+    O(near-dup pairs) rows, broadcast-sized, sampled-slice at 100 TB
+    exactly like dedup_minhash_recall documents; each rung re-runs
+    only the registered LSH machinery (zero-shuffle signatures, a
+    (band, sig) bucket equi-join, candidate-only verification), so
+    the three rungs are three banded passes over the same shingle
+    layout, never an all-pairs join. The rung-16 pass IS the
+    candidate-volume ceiling the dial exists to expose (16 single-row
+    bands ~ every minhash collision becomes a candidate)."""
+    from ..functions.materialize import memo_checkpoint
+
+    exact = memo_checkpoint(
+        spark,
+        ("minhash_exact_pairs", os.path.realpath(sf_dir)),
+        lambda: dedup_ngram_jaccard(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        ),
+    )
+    out = None
+    for b in _MINHASH_LADDER_BANDS:
+        lsh = _minhash_lsh_pairs(spark, sf_dir, b).select(
+            F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+        )
+        tier = exact.join(
+            lsh,
+            (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+            "left",
+        ).select(
+            F.lit(b).cast("int").alias("n_bands"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.col("la").isNotNull().alias("in_candidates"),
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
 
 
 # SimHash: 64-bit signature (as lo/hi 32-bit halves) from the token

