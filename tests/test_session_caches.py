@@ -269,6 +269,11 @@ def test_io_sentinel_probe_restores_session_state(spark):
     checksum_key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     checksum_before = spark.conf.get(checksum_key)
     views_before = {v.name for v in spark.catalog.listTables()}
+    # snapshot, don't glob-assert-empty: the shared tempdir may hold
+    # leftovers from a SIGKILLed probe process that are not this
+    # call's to clean (code-review r17)
+    ckpt_glob = os.path.join(tempfile.gettempdir(), "io_sentinel_ckpt_*")
+    ckpts_before = set(glob.glob(ckpt_glob))
 
     dt = io_probe(spark)
     assert dt > 0
@@ -279,6 +284,6 @@ def test_io_sentinel_probe_restores_session_state(spark):
     assert not {
         v for v in views_after - views_before if v.startswith("io_sentinel_")
     }, "memory-sink temp view leaked"
-    assert not glob.glob(
-        os.path.join(tempfile.gettempdir(), "io_sentinel_ckpt_*")
-    ), "throwaway checkpoint dir leaked"
+    assert not set(glob.glob(ckpt_glob)) - ckpts_before, (
+        "throwaway checkpoint dir leaked"
+    )

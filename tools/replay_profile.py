@@ -91,11 +91,19 @@ def main() -> None:
             "spark-defaults.conf",
         )
         if os.path.isfile(defaults):
+            import re
+
             with open(defaults) as fh:
                 for line in fh:
-                    parts = line.strip().split(None, 1)
-                    if parts[:1] == ["spark.driver.extraJavaOptions"]:
-                        existing_opts = f"{existing_opts} {parts[1]}".strip()
+                    # java.util.Properties accepts 'key value',
+                    # 'key=value' and 'key = value' — handle all
+                    # three (code-review r17)
+                    m = re.match(
+                        r"\s*spark\.driver\.extraJavaOptions\s*[=\s]\s*(\S.*)",
+                        line,
+                    )
+                    if m:
+                        existing_opts = f"{existing_opts} {m.group(1).strip()}".strip()
         tmpdir_opt = "-Djava.io.tmpdir=/dev/shm/replay_profile_local"
         shm_conf = {
             "spark.local.dir": "/dev/shm/replay_profile_local",
@@ -114,35 +122,39 @@ def main() -> None:
 
     names = [n for n in args.queries.split(",") if n] or REPLAY_QUERIES
     spark = get_spark(extra_conf=shm_conf or None)
-    q = plans.all_queries()
-    rows: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        q[name](spark, args.sf).count()
-        cold[name] = round(time.time() - t0, 3)
-        best = float("inf")
-        for _ in range(args.warm_runs):
+    try:
+        q = plans.all_queries()
+        rows: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
             t0 = time.time()
             q[name](spark, args.sf).count()
-            best = min(best, time.time() - t0)
-        rows[name] = round(best, 3)
-        print(f"{name:40s} cold {cold[name]:7.2f}  warm {rows[name]:7.2f}",
-              flush=True)
-    print(json.dumps({
-        "variant": {"shm": args.shm, "shuffle_cap": args.shuffle_cap},
-        "sf": args.sf,
-        "warm_sum": round(sum(rows.values()), 2),
-        "cold_sum": round(sum(cold.values()), 2),
-        "rows": rows,
-    }))
-    if args.shm:
-        # RAM-backed tmpfs accumulates shuffle spill across repeated
-        # profiling runs — reclaim it once the JVM is down (ADVICE r16)
-        import shutil
+            cold[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(args.warm_runs):
+                t0 = time.time()
+                q[name](spark, args.sf).count()
+                best = min(best, time.time() - t0)
+            rows[name] = round(best, 3)
+            print(f"{name:40s} cold {cold[name]:7.2f}  warm {rows[name]:7.2f}",
+                  flush=True)
+        print(json.dumps({
+            "variant": {"shm": args.shm, "shuffle_cap": args.shuffle_cap},
+            "sf": args.sf,
+            "warm_sum": round(sum(rows.values()), 2),
+            "cold_sum": round(sum(cold.values()), 2),
+            "rows": rows,
+        }))
+    finally:
+        if args.shm:
+            # RAM-backed tmpfs accumulates shuffle spill across
+            # repeated profiling runs — reclaim it once the JVM is
+            # down, on EVERY exit path (ADVICE r16, code-review r17)
+            import shutil
 
-        spark.stop()
-        shutil.rmtree("/dev/shm/replay_profile_local", ignore_errors=True)
+            spark.stop()
+            shutil.rmtree("/dev/shm/replay_profile_local",
+                          ignore_errors=True)
 
 
 if __name__ == "__main__":

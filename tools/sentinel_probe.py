@@ -103,7 +103,10 @@ def io_probe(spark) -> float:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def probe(spark, queries, sf_dir: str) -> int:
+def probe(spark, queries, sf_dir: str) -> tuple[int, bool]:
+    """Returns (cpu_in_band_count, io_in_band) — BOTH sides, so a
+    caller gating on the return value cannot ship into an IO burst
+    the CPU count is blind to (code-review r17)."""
     in_band = 0
     for name, (lo, hi) in BANDS.items():
         ts = []
@@ -130,7 +133,7 @@ def probe(spark, queries, sf_dir: str) -> int:
     )
     print(f"{in_band}/4 CPU in-band, IO {'in' if io_ok else 'ABOVE'}-band",
           flush=True)
-    return in_band
+    return in_band, io_ok
 
 
 def main() -> int:
