@@ -488,6 +488,26 @@ _MINHASH_RECALL_ORACLE = f"""
 """
 
 
+def _candidate_flags(exact: DataFrame, lsh: DataFrame) -> DataFrame:
+    """One row per ground-truth pair with an ``in_candidates`` flag:
+    ``exact`` (doc_a, doc_b, jaccard) left-joined against the LSH
+    candidate pairs (aliased la/lb). Shared by the registered recall
+    contract and every rung of the band-count ladder — middle-rung
+    row-identity holds by construction, the vector.py ladder pattern
+    (code-review r17). The (doc_a, doc_b) equi join is left unhinted
+    so AQE broadcasts the LSH side when it is audit-sized."""
+    return exact.join(
+        lsh,
+        (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+        "left",
+    ).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.col("la").isNotNull().alias("in_candidates"),
+    )
+
+
 @query("dedup_minhash_recall", oracle=_MINHASH_RECALL_ORACLE)
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the banded MinHash-LSH near-dup pass against
@@ -525,16 +545,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
-    return exact.join(
-        lsh,
-        (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
-        "left",
-    ).select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        F.col("la").isNotNull().alias("in_candidates"),
-    )
+    return _candidate_flags(exact, lsh)
 
 
 # Band-count dial at fixed _MINHASH_K hashes: rungs sweep rows-per-band
@@ -633,16 +644,12 @@ def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh = _minhash_lsh_pairs(spark, sf_dir, b).select(
             F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
         )
-        tier = exact.join(
-            lsh,
-            (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
-            "left",
-        ).select(
+        tier = _candidate_flags(exact, lsh).select(
             F.lit(b).cast("int").alias("n_bands"),
             "doc_a",
             "doc_b",
             "jaccard",
-            F.col("la").isNotNull().alias("in_candidates"),
+            "in_candidates",
         )
         out = tier if out is None else out.unionByName(tier)
     return out

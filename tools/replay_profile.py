@@ -96,10 +96,10 @@ def main() -> None:
             with open(defaults) as fh:
                 for line in fh:
                     # java.util.Properties accepts 'key value',
-                    # 'key=value' and 'key = value' — handle all
-                    # three (code-review r17)
+                    # 'key=value', 'key = value' and 'key:value'
+                    # — handle all four (code-review r17)
                     m = re.match(
-                        r"\s*spark\.driver\.extraJavaOptions\s*[=\s]\s*(\S.*)",
+                        r"\s*spark\.driver\.extraJavaOptions\s*[=:\s]\s*(\S.*)",
                         line,
                     )
                     if m:

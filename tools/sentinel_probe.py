@@ -74,7 +74,7 @@ def io_probe(spark) -> float:
         _IO_BATCHES,
         lambda: spark.range(0, 256).select(
             (F.col("id") % _IO_BATCHES).cast("int").alias("batch"),
-            (F.col("id") % 4).cast("int").alias("k"),
+            (F.col("id") % _IO_STATE_WIDTH).cast("int").alias("k"),
             F.col("id").alias("v"),
         ),
     )
