@@ -365,3 +365,108 @@ def test_cdc_merge_matches_lww_dict(spark_global, ops, n_batches):
         et, ts, eid = want[k]
         assert got[k][0] == et and got[k][1] == ts and got[k][2] == eid
         assert got[k][3] == counts[k]
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-signature nesting (round 17) — the structural fact the
+# band-count ladder's monotonicity proof rides (plans/dedup.py,
+# dedup_minhash_band_ladder): band b of an n-band layout covers the
+# contiguous seed range [b*K/n, (b+1)*K/n), so for rung pair (n, n')
+# with n | n' the coarse signature is EXACTLY the '|'-join of the m =
+# n'/n fine signatures it spans — and since every signature is a
+# '|'-join of decimal integers, the split is unique and coarse-band
+# equality forces equality of every covered fine band. The fixture
+# tests in test_round17_ops.py observe the implied per-pair flag
+# monotonicity on shipped data; these pin the decomposition itself on
+# arbitrary hash multisets, plus a one-example Spark tie so the pure
+# Python replica speaks for the Column expression.
+
+
+def _band_sigs_py(hs: list[int], n_bands: int) -> list[str]:
+    """Pure-Python twin of plans/dedup._band_sigs over a pre-hashed
+    shingle array (same affine family, same seed layout)."""
+    from eye_of_sauron_spark.functions.hashing import MINHASH_P, minhash_affine
+    from eye_of_sauron_spark.plans.dedup import _MINHASH_K
+
+    rpb = _MINHASH_K // n_bands
+
+    def mh(seed: int) -> int:
+        a, b = minhash_affine(seed)
+        return min((a * h + b) % MINHASH_P for h in hs)
+
+    return [
+        "|".join(str(mh(b * rpb + r)) for r in range(rpb)) for b in range(n_bands)
+    ]
+
+
+@given(
+    hs=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_band_sig_nesting_decomposition(hs):
+    from eye_of_sauron_spark.plans.dedup import _MINHASH_LADDER_BANDS
+
+    sigs = {n: _band_sigs_py(hs, n) for n in _MINHASH_LADDER_BANDS}
+    for n, n2 in zip(_MINHASH_LADDER_BANDS, _MINHASH_LADDER_BANDS[1:]):
+        m = n2 // n
+        for b in range(n):
+            assert sigs[n][b] == "|".join(
+                sigs[n2][b * m + j] for j in range(m)
+            )
+
+
+@given(
+    h1=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=24
+    ),
+    h2=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=24
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_coarse_band_match_implies_fine_band_match(h1, h2):
+    """The implication the ladder's in_candidates monotonicity needs:
+    a coarse-band collision between two documents forces a collision
+    on every fine band it covers (candidate sets nest as bands grow)."""
+    from eye_of_sauron_spark.plans.dedup import _MINHASH_LADDER_BANDS
+
+    s1 = {n: _band_sigs_py(h1, n) for n in _MINHASH_LADDER_BANDS}
+    s2 = {n: _band_sigs_py(h2, n) for n in _MINHASH_LADDER_BANDS}
+    for n, n2 in zip(_MINHASH_LADDER_BANDS, _MINHASH_LADDER_BANDS[1:]):
+        m = n2 // n
+        for b in range(n):
+            if s1[n][b] == s2[n][b]:
+                for j in range(b * m, (b + 1) * m):
+                    assert s1[n2][j] == s2[n2][j]
+
+
+def test_band_sigs_spark_matches_python_replica(spark_global):
+    """Ties the replica to the real Column expression: _band_sigs at
+    every ladder rung over a handful of fixed hash arrays evaluates to
+    exactly the replica's strings (so the hypothesis coverage above
+    speaks for the Spark construction)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.dedup import _MINHASH_LADDER_BANDS, _band_sigs
+
+    arrays = [
+        [0],
+        [2**32 - 1],
+        [123456789, 3141592653, 2718281828],
+        list(range(1, 41)),
+        [7] * 5 + [2**31, 2**32 - 2],
+    ]
+    df = spark_global.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i LONG, hs ARRAY<LONG>"
+    )
+    for n in _MINHASH_LADDER_BANDS:
+        got = {
+            r["i"]: list(r["sigs"])
+            for r in df.select(
+                "i", _band_sigs(F.col("hs"), n).alias("sigs")
+            ).collect()
+        }
+        for i, a in enumerate(arrays):
+            assert got[i] == _band_sigs_py(a, n), (n, i)
