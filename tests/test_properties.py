@@ -470,3 +470,111 @@ def test_band_sigs_spark_matches_python_replica(spark_global):
         }
         for i, a in enumerate(arrays):
             assert got[i] == _band_sigs_py(a, n), (n, i)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-signature prefix refinement (round 17) — the structural
+# fact the LSH plane-count ladder's monotonicity proof rides
+# (plans/vector.py, similarity_lsh_plane_ladder): rung p uses planes
+# range(p), nested PREFIXES of one deterministic family, and the
+# signature encodes plane i at bit i — so for p <= n the p-plane
+# signature is EXACTLY sig_n mod 2^p, equal n-plane signatures force
+# equal p-plane signatures, and every added plane refines the bucket
+# partition (candidate pools only shrink). The fixture tests in
+# test_round16_ops.py observe the implied per-query recall
+# monotonicity on shipped data; these pin the refinement itself on
+# arbitrary embedding vectors, with a Spark tie so the pure Python
+# replica speaks for the Column expression.
+
+
+def _lsh_sig_py(emb: list[float], n_planes: int) -> int:
+    """Pure-Python twin of plans/vector.hyperplane_sig_spark over
+    planes range(n_planes): same closed-form plane values, same
+    left-to-right double fold for the dot, bit i = sign of plane i."""
+    from eye_of_sauron_spark.plans.vector import _plane
+
+    sig = 0
+    for i in range(n_planes):
+        pl = _plane(i)
+        acc = 0.0
+        for j, x in enumerate(emb):
+            acc = acc + float(x) * float(pl[j])
+        if acc > 0:
+            sig |= 1 << i
+    return sig
+
+
+def _emb_strategy():
+    from eye_of_sauron_spark.plans.vector import _DIM
+
+    return st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e12,
+            max_value=1e12,
+        ),
+        min_size=_DIM,
+        max_size=_DIM,
+    )
+
+
+@given(emb=_emb_strategy())
+@settings(max_examples=200, deadline=None)
+def test_lsh_sig_prefix_decomposition(emb):
+    from eye_of_sauron_spark.plans.vector import _LSH_LADDER_PLANES
+
+    sigs = {n: _lsh_sig_py(emb, n) for n in _LSH_LADDER_PLANES}
+    for i, p in enumerate(_LSH_LADDER_PLANES):
+        for n in _LSH_LADDER_PLANES[i + 1 :]:
+            assert sigs[p] == sigs[n] % (1 << p)
+
+
+@given(e1=_emb_strategy(), e2=_emb_strategy())
+@settings(max_examples=100, deadline=None)
+def test_finer_bucket_match_implies_coarser_bucket_match(e1, e2):
+    """The implication the ladder's shrinking-pool argument needs:
+    two vectors sharing an n-plane bucket share every p-plane bucket
+    for p <= n (prefix planes), so growing the plane count can only
+    split buckets, never merge them."""
+    from eye_of_sauron_spark.plans.vector import _LSH_LADDER_PLANES
+
+    s1 = {n: _lsh_sig_py(e1, n) for n in _LSH_LADDER_PLANES}
+    s2 = {n: _lsh_sig_py(e2, n) for n in _LSH_LADDER_PLANES}
+    for i, p in enumerate(_LSH_LADDER_PLANES):
+        for n in _LSH_LADDER_PLANES[i + 1 :]:
+            if s1[n] == s2[n]:
+                assert s1[p] == s2[p]
+
+
+def test_hyperplane_sig_spark_matches_python_replica(spark_global):
+    """Ties the replica to the real Column expression at every ladder
+    rung over fixed vectors (incl. zero and sign-boundary shapes)."""
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.vector import (
+        _DIM,
+        _LSH_LADDER_PLANES,
+        hyperplane_sig_spark,
+    )
+
+    vecs = [
+        [0.0] * _DIM,
+        [1.0] * _DIM,
+        [-1.0] * _DIM,
+        [(-1.0) ** j * (j + 1) for j in range(_DIM)],
+        [1e-9 * (j - _DIM // 2) for j in range(_DIM)],
+        [float(j * j % 7 - 3) for j in range(_DIM)],
+    ]
+    df = spark_global.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i LONG, emb ARRAY<DOUBLE>"
+    )
+    for n in _LSH_LADDER_PLANES:
+        got = {
+            r["i"]: r["sig"]
+            for r in df.select(
+                "i", hyperplane_sig_spark(F.col("emb"), range(n)).alias("sig")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            assert got[i] == _lsh_sig_py(v, n), (n, i)
