@@ -338,6 +338,26 @@ def _ivf_oracle_sql(nprobe: int) -> str:
 _IVF_ORACLE = _ivf_oracle_sql(_IVF_NPROBE)
 
 
+def _ivf_cell_order(left: F.Column, right: F.Column) -> F.Column:
+    """array_sort comparator over (cos, cid) structs: the documented
+    TOTAL order behind every IVF cell ranking — cos DESC, cid ASC,
+    NULL cos (zero-norm vectors) last. cosine >= -1, so -2 sorts a
+    NULL below every real score. Totality/determinism is what makes
+    nprobe-n probe sets nested prefixes of one fixed ranking (the
+    ladder's monotonicity leg); pinned against its order key in
+    tests/test_properties.py. Module-level so the rungs and the tests
+    share one definition."""
+    lc = F.coalesce(left["cos"], F.lit(-2.0))
+    rc = F.coalesce(right["cos"], F.lit(-2.0))
+    return (
+        F.when(lc > rc, F.lit(-1))
+        .when(lc < rc, F.lit(1))
+        .when(left["cid"] < right["cid"], F.lit(-1))
+        .when(left["cid"] > right["cid"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The IVF plan parameterized by ``nprobe`` (see
     :func:`similarity_topk_ivf` for the full shape discussion)."""
@@ -369,27 +389,13 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             ),
         )
 
-    def _by_cos_desc(left: F.Column, right: F.Column) -> F.Column:
-        # mirror the old window's ORDER BY cos DESC, cid ASC with
-        # NULLs (zero-norm vectors) last: cosine >= -1, so -2 sorts
-        # a NULL below every real score
-        lc = F.coalesce(left["cos"], F.lit(-2.0))
-        rc = F.coalesce(right["cos"], F.lit(-2.0))
-        return (
-            F.when(lc > rc, F.lit(-1))
-            .when(lc < rc, F.lit(1))
-            .when(left["cid"] < right["cid"], F.lit(-1))
-            .when(left["cid"] > right["cid"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
-
     assigned = (
         _spread(emb, "vec_id")
         .crossJoin(F.broadcast(cent_row))
         .select(
             "vec_id",
             "embedding",
-            F.array_sort(_cell_scores(F.col("embedding")), _by_cos_desc)[0][
+            F.array_sort(_cell_scores(F.col("embedding")), _ivf_cell_order)[0][
                 "cid"
             ].alias("cell"),
         )
@@ -402,7 +408,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.col("embedding").alias("qe"),
             F.explode(
                 F.slice(
-                    F.array_sort(_cell_scores(F.col("embedding")), _by_cos_desc),
+                    F.array_sort(_cell_scores(F.col("embedding")), _ivf_cell_order),
                     1,
                     nprobe,
                 )["cid"]

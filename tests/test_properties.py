@@ -578,3 +578,57 @@ def test_hyperplane_sig_spark_matches_python_replica(spark_global):
         }
         for i, v in enumerate(vecs):
             assert got[i] == _lsh_sig_py(v, n), (n, i)
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-ranking comparator (round 17) — the third dial's structural
+# leg: the nprobe ladder's probe sets nest because rung n takes
+# slice(ranking, 1, n) of ONE deterministic ranking (plans/vector.py,
+# _ivf_topk), which holds only if the array_sort comparator is a
+# genuine total order. _ivf_cell_order is documented as the key
+# (-coalesce(cos, -2), cid): this evaluates the real Column expression
+# over seeded random + adversarial struct arrays (NULL cos, cos ties,
+# extremes) in one Spark job and checks the sort agrees with the key
+# everywhere — comparator laws (antisymmetry, transitivity, totality)
+# follow from key-equivalence for free.
+
+
+def test_ivf_cell_order_sorts_exactly_by_its_documented_key(spark_global):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eye_of_sauron_spark.plans.vector import _ivf_cell_order
+
+    rng = random.Random(0x17C0)
+    arrays = [
+        # adversarial shapes: all-NULL cos, cos ties with distinct
+        # cids, boundary scores, singletons, empty
+        [(None, 3), (None, 1), (None, 2)],
+        [(0.5, 9), (0.5, 1), (0.5, 5), (None, 0)],
+        [(-1.0, 2), (1.0, 1), (0.0, 3), (None, 4), (-1.0, 1)],
+        [(0.123456, 7)],
+        [],
+    ] + [
+        [
+            (
+                rng.choice([None, -1.0, 1.0, 0.0, round(rng.uniform(-1, 1), 6)]),
+                rng.randrange(16),
+            )
+            for _ in range(rng.randrange(1, 12))
+        ]
+        for _ in range(30)
+    ]
+    df = spark_global.createDataFrame(
+        [(i, [{"cos": c, "cid": k} for c, k in a]) for i, a in enumerate(arrays)],
+        "i LONG, cells ARRAY<STRUCT<cos: DOUBLE, cid: LONG>>",
+    )
+    got = {
+        r["i"]: [(x["cos"], x["cid"]) for x in r["s"]]
+        for r in df.select(
+            "i", F.array_sort("cells", _ivf_cell_order).alias("s")
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        want = sorted(a, key=lambda t: (-(t[0] if t[0] is not None else -2.0), t[1]))
+        assert got[i] == want, (i, got[i], want)
