@@ -267,24 +267,46 @@ def _band_sigs(hs, n_bands: int = _MINHASH_BANDS):
     )
 
 
-def _minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, n_bands: int = _MINHASH_BANDS
-) -> DataFrame:
-    """The MinHash-LSH pipeline at a given band count (fixed
-    _MINHASH_K hashes) — the registered query below is this at
-    _MINHASH_BANDS; the band-count ladder re-runs it per rung."""
+def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The narrow shingling prefix shared by every MinHash path:
+    (doc_id, sh) for non-empty-shingle documents, spread across
+    cores."""
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     # the non-empty-shingles gate is stated on the TOKEN count (tokens
     # >= shingle width <=> shingles non-empty): pushdown clones scan-
     # side filters below the spread exchange, and this form costs one
     # split() there instead of the full shingling expression a
     # size(sh)>0 filter would inline (see plans/decontam.py)
-    base = docs.filter(F.size(tokens_spark(F.col("text"))) >= 3).select(
+    return docs.filter(F.size(tokens_spark(F.col("text"))) >= 3).select(
         "doc_id", shingles_spark(F.col("text")).alias("sh")
     )
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int = _MINHASH_BANDS
+) -> DataFrame:
+    """The MinHash-LSH pipeline at a given band count (fixed
+    _MINHASH_K hashes) — the registered query below is this at
+    _MINHASH_BANDS; the band-count ladder runs the same rung pipeline
+    per rung over a shared materialized prefix (r17 optimization)."""
+    base = _minhash_base(spark, sf_dir)
     hashed = base.select(
         "doc_id", F.transform("sh", hex32_spark).alias("hs")
     )
+    return _lsh_pairs_from(spark, base, hashed, n_bands)
+
+
+def _lsh_pairs_from(
+    spark: SparkSession, base: DataFrame, hashed: DataFrame, n_bands: int
+) -> DataFrame:
+    """The banded rung pipeline over a (doc_id, sh) base relation and
+    its (doc_id, hs) pre-hashed view: band signatures -> (band, sig)
+    bucket self-join -> exact-jaccard verification. Factored out of
+    :func:`_minhash_lsh_pairs` (identical math, plan unchanged for
+    the single-rung callers) so the band-count ladder can feed every
+    rung from ONE materialized shingle+hash pass instead of repeating
+    the scan->shingle->md5->minhash prefix per rung (guide §1.2: the
+    distributed algorithm first — don't compute things three times)."""
     # posexplode_OUTER: exempt from InferFiltersFromGenerate, whose
     # size/notnull constraint would re-evaluate all 8 band signatures
     # below the exchange (the band array is never empty — 8 literals)
@@ -308,7 +330,7 @@ def _minhash_lsh_pairs(
     # exchange, so the physical planner reuses it (ReusedExchange) —
     # shingling runs once for verification instead of once per side
     verify = base.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     pairs = cand.join(
         verify.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da"
@@ -623,14 +645,23 @@ def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the exact side is the inverted-index audit baseline
     (dedup_ngram_jaccard), session-memoized once for the ladder —
     O(near-dup pairs) rows, broadcast-sized, sampled-slice at 100 TB
-    exactly like dedup_minhash_recall documents; each rung re-runs
-    only the registered LSH machinery (zero-shuffle signatures, a
-    (band, sig) bucket equi-join, candidate-only verification), so
-    the three rungs are three banded passes over the same shingle
-    layout, never an all-pairs join. The rung-16 pass IS the
-    candidate-volume ceiling the dial exists to expose (16 single-row
-    bands ~ every minhash collision becomes a candidate)."""
-    from ..functions.materialize import memo_checkpoint
+    exactly like dedup_minhash_recall documents; the rungs share ONE
+    materialized shingle+hash pass (r17 optimization, guide §1.2:
+    the scan -> shingle -> md5 prefix used to run once PER RUNG —
+    three full narrow passes over the corpus for one ladder; now the
+    (doc_id, sh, hs) relation is localCheckpointed once and every
+    rung derives its band signatures, bucket self-join and
+    candidate-only verification from the materialized partitions, so
+    the three rungs really are three banded passes over the same
+    shingle layout, and the per-rung verify exchange collapses to a
+    ReusedExchange across rungs because all three now hash-partition
+    the same checkpointed leaf). At 100 TB the one-pass materialization
+    is the standard time/space trade (MEMORY_AND_DISK blocks of
+    O(corpus tokens) hashes) against re-scanning the corpus per rung.
+    The rung-16 pass IS the candidate-volume ceiling the dial exists
+    to expose (16 single-row bands ~ every minhash collision becomes
+    a candidate)."""
+    from ..functions.materialize import checkpoint_tracked, memo_checkpoint
 
     exact = memo_checkpoint(
         spark,
@@ -639,9 +670,19 @@ def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "jaccard"
         ),
     )
+    shared, _shared_ids = checkpoint_tracked(
+        _minhash_base(spark, sf_dir).select(
+            "doc_id", "sh", F.transform("sh", hex32_spark).alias("hs")
+        )
+    )
+    # the returned union reads the checkpoint, so it stays pinned with
+    # the result (same lifecycle as textrank's final ranks checkpoint;
+    # drain_session releases it once the result is consumed)
+    base = shared.select("doc_id", "sh")
+    hashed = shared.select("doc_id", "hs")
     out = None
     for b in _MINHASH_LADDER_BANDS:
-        lsh = _minhash_lsh_pairs(spark, sf_dir, b).select(
+        lsh = _lsh_pairs_from(spark, base, hashed, b).select(
             F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
         )
         tier = _candidate_flags(exact, lsh).select(
