@@ -224,9 +224,9 @@ def _lsh_oracle_sql(planes: int) -> str:
 _LSH_ORACLE = _lsh_oracle_sql(_N_PLANES)
 
 
-def _lsh_topk(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
-    """The LSH plan parameterized by plane count (see
-    :func:`similarity_topk_lsh` for the full shape discussion)."""
+def _lsh_sigs(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
+    """The narrow signature pass of the LSH plan: (vec_id, embedding,
+    sig) at the given plane count, spread across cores."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # the signature is a JOIN KEY below, and Catalyst infers an
     # isnotnull(sig) filter on both join sides — with sig's WHOLE
@@ -237,7 +237,7 @@ def _lsh_topk(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
     # constraint constant-folds away; the sentinel is unreachable
     # because null embeddings are filtered at the scan (a cheap,
     # parquet-pushable predicate).
-    sigs = _spread(emb, "vec_id").select(
+    return _spread(emb, "vec_id").select(
         "vec_id",
         "embedding",
         F.coalesce(
@@ -245,6 +245,21 @@ def _lsh_topk(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
             F.lit(-1).cast("bigint"),
         ).alias("sig"),
     )
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
+    """The LSH plan parameterized by plane count (see
+    :func:`similarity_topk_lsh` for the full shape discussion)."""
+    return _lsh_topk_from(_lsh_sigs(spark, sf_dir, planes))
+
+
+def _lsh_topk_from(sigs: DataFrame) -> DataFrame:
+    """The bucket-join + per-query ranking tail of the LSH plan over a
+    prepared (vec_id, embedding, sig) relation. Factored out so the
+    plane ladder can feed every rung from ONE materialized max-plane
+    signature pass (rung sig = sig_max mod 2^planes, the prefix
+    refinement pinned in tests/test_properties.py) while the
+    registered single-rung path keeps its exact previous plan."""
     q = sigs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig"
     )
@@ -358,63 +373,41 @@ def _ivf_cell_order(left: F.Column, right: F.Column) -> F.Column:
     )
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """The IVF plan parameterized by ``nprobe`` (see
-    :func:`similarity_topk_ivf` for the full shape discussion)."""
-    emb = _t(spark, sf_dir, "embeddings")
+def _ivf_cent_row(emb: DataFrame) -> DataFrame:
+    """The whole centroid set folded into ONE broadcast row of
+    (cid, ce) structs: cell assignment and probe selection then run
+    as NARROW higher-order-function passes (per-row argmax over the
+    array) — no corpus x cells explode, no shuffle, no per-vec_id
+    ranking window. At 100 TB this is the difference between a
+    map-side-only assignment and shuffling corpus x cells rows into a
+    window sort; locally it also drops the window's exchange
+    materialization (status-tracker: 7 jobs -> 6, wall warm-identical
+    at sf0.1 — the win is the shape, not the local clock; SCALE.md
+    "similarity_*_recall drift triage")."""
     cent = (
         emb.orderBy("vec_id")
         .limit(_IVF_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     )
-    # fold the whole centroid set into ONE broadcast row of (cid, ce)
-    # structs: cell assignment and probe selection then run as NARROW
-    # higher-order-function passes (per-row argmax over the array) —
-    # no corpus x cells explode, no shuffle, no per-vec_id ranking
-    # window. At 100 TB this is the difference between a map-side-only
-    # assignment and shuffling corpus x cells rows into a window sort;
-    # locally it also drops the window's exchange materialization
-    # (status-tracker: 7 jobs -> 6, wall warm-identical at sf0.1 —
-    # the win is the shape, not the local clock; SCALE.md
-    # "similarity_*_recall drift triage").
-    cent_row = cent.agg(
+    return cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents")
     )
 
-    def _cell_scores(vec: F.Column) -> F.Column:
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                cosine_spark(vec, c["ce"]).alias("cos"), c["cid"].alias("cid")
-            ),
-        )
 
-    assigned = (
-        _spread(emb, "vec_id")
-        .crossJoin(F.broadcast(cent_row))
-        .select(
-            "vec_id",
-            "embedding",
-            F.array_sort(_cell_scores(F.col("embedding")), _ivf_cell_order)[0][
-                "cid"
-            ].alias("cell"),
-        )
+def _ivf_cell_scores(vec: F.Column) -> F.Column:
+    """(cos, cid) structs of ``vec`` against the broadcast ``cents``
+    array — the input of every IVF cell ranking."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine_spark(vec, c["ce"]).alias("cos"), c["cid"].alias("cid")
+        ),
     )
-    probes = (
-        emb.filter(F.expr(_QUERY_FILTER))
-        .crossJoin(F.broadcast(cent_row))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            F.explode(
-                F.slice(
-                    F.array_sort(_cell_scores(F.col("embedding")), _ivf_cell_order),
-                    1,
-                    nprobe,
-                )["cid"]
-            ).alias("cell"),
-        )
-    )
+
+
+def _ivf_rank_tail(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """The candidate equi-join + per-query ranking tail shared by the
+    registered IVF plan and every nprobe-ladder rung."""
     cos = cosine_spark(F.col("qe"), F.col("embedding"))
     w_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid_cand").asc())
     return (
@@ -430,6 +423,42 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF plan parameterized by ``nprobe`` (see
+    :func:`similarity_topk_ivf` for the full shape discussion)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_row = _ivf_cent_row(emb)
+    assigned = (
+        _spread(emb, "vec_id")
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_sort(_ivf_cell_scores(F.col("embedding")), _ivf_cell_order)[
+                0
+            ]["cid"].alias("cell"),
+        )
+    )
+    probes = (
+        emb.filter(F.expr(_QUERY_FILTER))
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        _ivf_cell_scores(F.col("embedding")), _ivf_cell_order
+                    ),
+                    1,
+                    nprobe,
+                )["cid"]
+            ).alias("cell"),
+        )
+    )
+    return _ivf_rank_tail(assigned, probes)
 
 
 @query("similarity_topk_ivf", oracle=_IVF_ORACLE)
@@ -559,16 +588,20 @@ def _ladder_oracle(dial_col: str, rungs, oracle_sql_fn) -> str:
 
 
 def _ladder_of(
-    spark: SparkSession, sf_dir: str, dial_col: str, rungs, topk_fn
+    spark: SparkSession, sf_dir: str, dial_col: str, rung_anns
 ) -> DataFrame:
-    """Shared dial-ladder plan: per-rung :func:`_recall_of` over
-    ``topk_fn(spark, sf_dir, rung)``, tagged with the dial value and
-    unioned — each rung re-runs the REGISTERED machinery byte-for-byte
-    so the middle-rung row-identity pins are true by construction."""
+    """Shared dial-ladder plan: per-rung :func:`_recall_of` over the
+    prepared ``(rung, ann_df)`` pairs, tagged with the dial value and
+    unioned. The rung ANN relations are built by each ladder from ONE
+    materialized shared pass (r17 optimization); every rung still
+    runs the registered ranking tail byte-for-byte, and the
+    shared-pass derivations are property-pinned
+    (tests/test_properties.py), so the middle-rung row-identity pins
+    keep holding by construction."""
     out = None
-    for r_ in rungs:
+    for r_, ann_df in rung_anns:
         tier = _recall_of(
-            spark, sf_dir, lambda s, d, r=r_: topk_fn(s, d, r)
+            spark, sf_dir, lambda s, d, a=ann_df: a
         ).select(
             F.lit(r_).cast("int").alias(dial_col),
             "query_id",
@@ -629,13 +662,50 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact side is the session-memoized brute-force
     baseline (ONE computation shared by every recall contract, riding
-    a sampled query set at production scale); each rung re-runs only
-    the IVF plan — broadcast centroid row, narrow argmax assignment,
-    one cell equi-join — and everything after the scans is
-    O(queries x k) broadcast-sized. At 100 TB the three rungs are
-    three passes over the same cell-partitioned candidate layout, not
-    three corpus shuffles."""
-    return _ladder_of(spark, sf_dir, "nprobe", _IVF_LADDER_NPROBES, _ivf_topk)
+    a sampled query set at production scale); the rungs share ONE
+    materialized cell-ranking pass (r17 optimization): the broadcast
+    centroid fold + argmax ranking used to run once per rung AND per
+    side — six narrow corpus passes for one ladder; now
+    (vec_id, embedding, cells[1..max_nprobe]) is localCheckpointed
+    once, every rung's assignment is cells[1] and its probe set is
+    the nprobe-prefix of the SAME ranking (nested prefixes — exactly
+    the total-order argument in _ivf_cell_order's contract, pinned in
+    tests/test_properties.py), and only the cell equi-join + ranking
+    tail runs per rung. Everything after the scans is O(queries x k)
+    broadcast-sized. At 100 TB the three rungs are three passes over
+    the same cell-partitioned candidate layout, not three corpus
+    shuffles — and now also ONE assignment pass, not six."""
+    from ..functions.materialize import checkpoint_tracked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    max_np = _IVF_LADDER_NPROBES[-1]
+    shared, _shared_ids = checkpoint_tracked(
+        _spread(emb, "vec_id")
+        .crossJoin(F.broadcast(_ivf_cent_row(emb)))
+        .select(
+            "vec_id",
+            "embedding",
+            F.slice(
+                F.array_sort(
+                    _ivf_cell_scores(F.col("embedding")), _ivf_cell_order
+                )["cid"],
+                1,
+                max_np,
+            ).alias("cells"),
+        )
+    )
+    rung_anns = []
+    for np_ in _IVF_LADDER_NPROBES:
+        assigned = shared.select(
+            "vec_id", "embedding", F.col("cells")[0].alias("cell")
+        )
+        probes = shared.filter(F.expr(_QUERY_FILTER)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice("cells", 1, np_)).alias("cell"),
+        )
+        rung_anns.append((np_, _ivf_rank_tail(assigned, probes)))
+    return _ladder_of(spark, sf_dir, "nprobe", rung_anns)
 
 
 # middle rung == _N_PLANES, so the registered contract is a ladder
@@ -670,22 +740,38 @@ def similarity_lsh_plane_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round16_ops.py).
 
     Scale shape: the exact side is the session-memoized brute-force
-    baseline shared by every recall contract; each rung re-runs only
-    the LSH plan — one narrow signature pass over the corpus, one
-    broadcast equi-join on sig — and everything after the scans is
-    O(queries x k) broadcast-sized. At 100 TB the rungs are three
-    signature passes over the same scan, never an all-pairs join;
-    the 4-plane rung's buckets are corpus/16-sized, which is exactly
-    the candidate-volume ceiling the dial exists to expose. (The
-    nested-prefix property WOULD let one 16-plane pass derive every
-    rung's signature as sig_p = sig_16 mod 2^p; deliberately not
-    taken — each rung re-runs the registered _lsh_topk machinery
-    byte-for-byte so the middle-rung row-identity pin is structural,
-    and an audit relation values independent rungs over one saved
-    narrow pass.)"""
-    return _ladder_of(
-        spark, sf_dir, "n_planes", _LSH_LADDER_PLANES, _lsh_topk
+    baseline shared by every recall contract; the rungs share ONE
+    materialized max-plane signature pass (r17 optimization): the
+    16-plane signature relation is localCheckpointed once and each
+    rung derives its signature as sig_p = sig_16 mod 2^p — the
+    nested-prefix refinement pinned BOTH as a hypothesis property and
+    against the real Column expression in tests/test_properties.py
+    (r16 had left this on the table to keep rungs independent; the
+    pins added since make the derivation as auditable as the re-run,
+    and the optimization round takes the saved passes). Each rung
+    still runs the registered bucket-join + ranking tail
+    byte-for-byte (_lsh_topk_from), and everything after the scans is
+    O(queries x k) broadcast-sized. At 100 TB this is ONE signature
+    pass over the corpus instead of three (the 6 scan-side passes —
+    3 rungs x 2 join sides — collapse onto one materialized
+    relation); the 4-plane rung's buckets are corpus/16-sized, which
+    is exactly the candidate-volume ceiling the dial exists to
+    expose."""
+    from ..functions.materialize import checkpoint_tracked
+
+    max_p = _LSH_LADDER_PLANES[-1]
+    shared, _shared_ids = checkpoint_tracked(
+        _lsh_sigs(spark, sf_dir, max_p).withColumnRenamed("sig", "sig_max")
     )
+    rung_anns = []
+    for p in _LSH_LADDER_PLANES:
+        sigs = shared.select(
+            "vec_id",
+            "embedding",
+            (F.col("sig_max") % F.lit(1 << p)).cast("bigint").alias("sig"),
+        )
+        rung_anns.append((p, _lsh_topk_from(sigs)))
+    return _ladder_of(spark, sf_dir, "n_planes", rung_anns)
 
 
 # --------------------------------------------------------- quantization
