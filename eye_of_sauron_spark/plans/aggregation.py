@@ -148,12 +148,37 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.01 makes 5% a ~5-sigma bound) and the DuckDB oracle asserts it
     is constant TRUE alongside the exact counts. The exact
     countDistinct exists only to evaluate the sketch at test scale —
-    at 100 TB you'd run the approx column alone."""
+    at 100 TB you'd run the approx column alone.
+
+    Plan shape (r17 optimization): stated as an explicit two-level
+    aggregate — plain counts per (event_type, user_id), then approx +
+    exact + sum at the event_type level — instead of approx + distinct
+    in one agg. The single-agg form goes through Spark's
+    distinct-aggregate rewrite, which evaluates the NON-distinct
+    approx_count_distinct in the first phase keyed by
+    (event_type, user_id): one ~16 KB HLL++ register array (rsd 0.01
+    -> p=14) per PAIR group — ~90k sketches at sf0.1, GBs of register
+    buffers at scale — before any merging. Two-level, the first
+    exchange carries plain (pair, count) rows and sketches exist only
+    at the second level (groups x partitions of them). The estimate is
+    IDENTICAL by construction: HLL registers are duplicate-insensitive
+    (register = max of hashed-value ranks) and sketch merge is the
+    register-wise max — associative and commutative — so feeding each
+    distinct pair once yields the same registers, and the same
+    estimate, as feeding every event row. Measured interleaved at
+    sf0.1: 2.36 -> 1.16 s median (guide §2.3: aggregate before you
+    shuffle; shuffle bytes drop from sketch arrays to plain counts)."""
     events = _t(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    agg = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count("*").alias("n_events"),
+        # count(user_id), not count(*): countDistinct excludes NULLs,
+        # so a (event_type, NULL) pair group must not count here —
+        # while sum(c) below must still include its rows
+        F.count("user_id").alias("exact_users"),
+        F.sum("c").alias("n_events"),
     )
     bound = F.greatest(F.lit(1.0), F.col("exact_users") * 0.05)
     return agg.select(
