@@ -562,8 +562,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference tie: the A6 tolerance match (src/utils.py) is the
     reference's one approximate operator; this row is the measured-
     error discipline its text restatement was missing (r11 verdict
-    item 4)."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    item 4).
+
+    The exact side is the SAME session memo the band ladder reads
+    (``minhash_exact_pairs`` — r17 optimization, guide §1.2): two
+    registered audit rows consumed one inverted-index exact pass
+    each, and the relation is O(near-dup pairs) rows — broadcast-
+    sized — so the second computation bought nothing. The r17
+    build-phase note deferred this share until "more text-dedup audit
+    rows appear"; the ladder made it two consumers, and the
+    optimization round is the re-certification point the note was
+    waiting for."""
+    from ..functions.materialize import memo_checkpoint
+
+    exact = memo_checkpoint(
+        spark,
+        ("minhash_exact_pairs", os.path.realpath(sf_dir)),
+        lambda: dedup_ngram_jaccard(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        ),
+    )
     lsh = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
