@@ -458,15 +458,33 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-aggregated TOP pair relation. Lift is staged integer
     arithmetic — (pair*1e6 div cnt_a) <= 1e6, times n_orders <= 1e12
     clamps under 2^63 — so both engines hash bit-identically at any
-    scale."""
+    scale.
+
+    One-scan shape (r17 optimization, guide §2.4/§6): the basket
+    relation already DETERMINES the order total (one row per order)
+    and the per-part distinct-order counts (parts arrays are distinct
+    per order, so exploding them yields exactly the (order, part)
+    pairs countDistinct was re-deriving from raw line items). The
+    previous plan scanned lineitem FOUR times — baskets, n_orders,
+    and two byte-identical (part, countDistinct order) aggregates
+    that the planner did not fuse; now lineitem is scanned once, the
+    basket aggregate is localCheckpointed (O(distinct order-part
+    pairs) rows, 2 columns — far smaller than the fact table), and
+    tot/singles/pairs all ride the materialized partitions."""
+    from ..functions.materialize import checkpoint_tracked
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    # pinned with the returned result (drain_session releases it once
+    # the result is consumed), like the ladder shared passes
+    baskets, _basket_ids = checkpoint_tracked(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        )
     )
     tot = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
-    singles = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("cnt")
-    )
+    singles = baskets.select(F.explode("parts").alias("part")).groupBy(
+        "part"
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
     capped = baskets.filter(F.size("parts").between(2, _MB_BASKET_CAP))
     pairs = capped.select(
         "parts", F.posexplode("parts").alias("i", "pa")
