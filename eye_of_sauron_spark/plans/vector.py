@@ -1440,9 +1440,22 @@ def similarity_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample at production scale). Reference tie: A6's match-quality
     discipline (src/prediction_producer.py:314-325) — accuracy is a
     measured contract, and this is the measured way to buy more of
-    it without touching query cost."""
+    it without touching query cost.
+
+    The trained codebook is session-memoized (r17 optimization,
+    guide §1.2): it is ONE row, and production trains a codebook
+    once and serves every query from it — re-running the E/M
+    training pass per consumer (this row, its recall contract, every
+    re-invocation) bought nothing. Same lifecycle as the
+    recall_exact_topk memo; drain_session releases it."""
+    from ..functions.materialize import memo_checkpoint
+
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _pq_trained_codebook(emb)
+    cb = memo_checkpoint(
+        spark,
+        ("pq_trained_codebook", os.path.realpath(sf_dir)),
+        lambda: _pq_trained_codebook(emb),
+    )
     msel = F.transform(
         F.col("cbs"),
         lambda mc: _pq_nearest(
