@@ -230,11 +230,22 @@ def face_pipeline(frames: DataFrame, targets: DataFrame) -> DataFrame:
     k-way crossJoin into a per-face groupBy first, pushing payload
     bytes through two aggregations (round-4 verdict, ml_face_pipeline
     audit)."""
-    tarr = targets.groupBy().agg(
-        F.collect_list(F.struct("target_idx", "te", "tname")).alias("tarr")
-    )
     faces = _explode_boxes(frames).withColumn(
         "emb", _embed_one_udf("payload", "box")
+    )
+    return _match_annotate(faces, targets)
+
+
+def _match_annotate(faces: DataFrame, targets: DataFrame) -> DataFrame:
+    """The match -> reassemble -> annotate tail of
+    :func:`face_pipeline` over an already detected+embedded per-face
+    relation (camera, frame_num, payload, boxes, face_idx, box, emb).
+    Split out (r17 optimization) so ``ml_face_pipeline`` can feed the
+    SAME materialized detect+embed pass to both the target derivation
+    and the match, instead of running the detect UDF over every frame
+    twice."""
+    tarr = targets.groupBy().agg(
+        F.collect_list(F.struct("target_idx", "te", "tname")).alias("tarr")
     )
     # hits: broadcast targets that match this face, in upload order;
     # min over (target_idx, tname) = FIRST match, the A6 quirk
@@ -340,13 +351,46 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage in-plan (zero-face frames render to exactly the 7-byte
     header + 32-byte payload; any detected face must grow it).
     Remaining stub-dependent internals (box geometry, embedding
-    values) stay pytest-verified in tests/test_ml.py."""
+    values) stay pytest-verified in tests/test_ml.py.
+
+    One detect+embed pass (r17 optimization, guide §4/§1.2): the
+    target set is the stream's own first 4 faces, so deriving it with
+    :func:`first_faces_targets` ran the detect UDF over EVERY frame a
+    second time just to keep 4 rows. The exploded+embedded face
+    relation is now localCheckpointed once; the targets are a
+    TakeOrdered over those materialized rows (their ``emb`` is the
+    same pure function of (payload, box) the old post-limit embed
+    computed), and the match/annotate tail reads the same
+    materialization — 2 ArrowEvalPython detect passes -> 1, and the
+    old per-action target re-detect hazard is gone with the pass that
+    caused it. (first_faces_targets stays as the streaming path's
+    batch-side builder, where frames arrive per-micro-batch.)"""
+    from ..functions.materialize import checkpoint_tracked
+
     frames = frames_from_events(load_table(spark, sf_dir, "events"))
-    # pin the 4-row target set: deriving it lazily re-runs the full
-    # detect pass over every frame once per action (the "upload" is a
-    # one-time event in the reference too — web/views.py:144-169)
-    targets = first_faces_targets(frames).localCheckpoint(eager=True)
-    out = face_pipeline(frames, targets)
+    # pinned with the returned result (drain_session releases it)
+    faces, _face_ids = checkpoint_tracked(
+        _explode_boxes(frames).withColumn(
+            "emb", _embed_one_udf("payload", "box")
+        )
+    )
+    targets = (
+        faces.filter(F.col("box").isNotNull())
+        .orderBy("frame_num", "face_idx")
+        .limit(_PIPE_TARGETS)
+        .withColumn(
+            "target_idx",
+            F.row_number().over(W.orderBy("frame_num", "face_idx")),
+        )
+        .select(
+            "target_idx",
+            F.col("emb").alias("te"),
+            F.concat(
+                F.lit("person_"), F.col("target_idx").cast("string")
+            ).alias("tname"),
+        )
+    )
+    out = _match_annotate(faces, targets)
     annot_ok = (
         (F.col("n_faces") == 0) & (F.col("annotated_len") == 39)
     ) | ((F.col("n_faces") > 0) & (F.col("annotated_len") > 39))

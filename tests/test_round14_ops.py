@@ -27,19 +27,36 @@ from pyspark.sql import functions as F
 def test_pq_trained_plan_no_unbroadcast_cartesian(spark, sf_dir):
     """Training adds an E/M aggregate pass but nothing in the full
     plan may be a non-broadcast cartesian/BNLJ — same discipline as
-    the seed tier (tests/test_round13_ops.py)."""
-    from eye_of_sauron_spark.plans.vector import similarity_topk_pq_trained
+    the seed tier (tests/test_round13_ops.py). Since the r17
+    codebook memoization the training pass runs once per session
+    inside the memo build, so the discipline is asserted on BOTH
+    plans: the consumer's (encode + ADC) and the codebook build's
+    (the E-step)."""
+    from eye_of_sauron_spark.plans.vector import (
+        _pq_trained_codebook,
+        similarity_topk_pq_trained,
+    )
+    from eye_of_sauron_spark.sources import load_table
 
     plan = similarity_topk_pq_trained(
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    # exactly the 3 deliberate 1-row/queries-sized broadcasts (seeds
-    # row x corpus for the E-step, codebook row x corpus for encode,
-    # query set x recon for ADC) — a join that falls OUT of broadcast
+    # exactly the 2 deliberate 1-row/queries-sized broadcasts in the
+    # consumer plan (codebook row x corpus for encode, query set x
+    # recon for ADC; the seeds-x-corpus E-step lives in the memoized
+    # codebook build below) — a join that falls OUT of broadcast
     # hash join into BNLJ would raise this count; one of the deliberate
     # broadcasts becoming a hash join would lower it (update on purpose)
-    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+    cb_plan = _pq_trained_codebook(
+        load_table(spark, sf_dir, "embeddings")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cb_plan, cb_plan
+    # the one deliberate broadcast of the training pass: the 1-row
+    # seed-codebook x corpus E-step
+    assert cb_plan.count("BroadcastNestedLoopJoin") == 1, cb_plan
 
 
 def test_pq_trained_codebook_total_and_reconstructible(spark, sf_dir):
