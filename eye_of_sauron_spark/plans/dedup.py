@@ -366,6 +366,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(spark, sf_dir, _MINHASH_BANDS)
 
 
+def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized OUTPUT of :func:`dedup_minhash_lsh` — the
+    (doc_a, doc_b, jaccard) near-dup pair relation, O(near-dup pairs)
+    rows (broadcast-sized), consumed by three downstream registered
+    queries (the recall audit's candidate side, the CC keeper
+    election's edge list, the multimodal union's text edges). A
+    production pipeline emits this relation once and every downstream
+    stage reads it; re-running the full shingle->minhash->band->verify
+    pipeline per consumer bought nothing (r17 optimization,
+    guide §1.2). The registered ``dedup_minhash_lsh`` row itself keeps
+    computing the full pipeline — it IS the measurement of the banded
+    pass — and drain_session releases the slot, so every
+    driver/oracle invocation still computes from the parquet inputs."""
+    from ..functions.materialize import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        ("minhash_lsh_pairs", os.path.realpath(sf_dir)),
+        lambda: dedup_minhash_lsh(spark, sf_dir),
+    )
+
+
 # Document-frequency cutoff for the postings index: a shingle shared
 # by m documents emits O(m^2) candidate pairs, and a natural-language
 # stop-shingle ("one of the") can have df in the millions at 100 TB —
@@ -572,7 +594,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-phase note deferred this share until "more text-dedup audit
     rows appear"; the ladder made it two consumers, and the
     optimization round is the re-certification point the note was
-    waiting for."""
+    waiting for. The LSH candidate side is likewise the session-
+    memoized pipeline OUTPUT (``_minhash_pairs_shared``): the audit
+    consumes the same pair relation the pipeline emits — exactly what
+    a production recall audit joins against — instead of re-running
+    the banded pass a second time inside the same session."""
     from ..functions.materialize import memo_checkpoint
 
     exact = memo_checkpoint(
@@ -582,7 +608,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "jaccard"
         ),
     )
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    lsh = _minhash_pairs_shared(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
     return _candidate_flags(exact, lsh)
@@ -1054,6 +1080,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized OUTPUT of :func:`dedup_embedding_cosine` —
+    the (vec_a, vec_b, label, cosine) near-dup pair relation,
+    O(near-dup pairs) rows (broadcast-sized), consumed downstream by
+    the multimodal keeper election's embedding edges. Same contract
+    as :func:`_minhash_pairs_shared`: the registered
+    ``dedup_embedding_cosine`` row keeps computing the full banded
+    pipeline, and drain_session releases the slot so every
+    driver/oracle invocation computes from the parquet inputs."""
+    from ..functions.materialize import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        ("emb_cosine_pairs", os.path.realpath(sf_dir)),
+        lambda: dedup_embedding_cosine(spark, sf_dir),
+    )
+
+
 # ---------------------------------------------- SemDeDup (cells)
 
 # Cluster-then-prune semantic dedup (SemDeDup, Abbas et al. 2023):
@@ -1289,35 +1333,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_group_routed), and the component relation is tiny (one row
     per CLUSTERED doc), so re-running the minhash + propagation loop
     per consumer bought nothing."""
-    from ..functions.materialize import (
-        checkpoint_tracked,
-        memo_checkpoint,
-        unpersist_ids,
-    )
+    from ..functions.materialize import memo_checkpoint
 
     def _build() -> DataFrame:
-        # materialize the (small) DIRECTED edge list first —
-        # symmetrizing before the checkpoint puts the whole minhash
-        # pipeline in BOTH union branches (it executes twice); after
-        # it, the swap is a projection over materialized partitions,
-        # and every propagation round joins cheap materialized data
-        edges, edge_ids = checkpoint_tracked(
-            dedup_minhash_lsh(spark, sf_dir).select(
-                F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
-            )
+        # the directed edge list is the session-memoized pipeline
+        # OUTPUT (r17 optimization) — already materialized, so the
+        # symmetrizing swap is a projection over checkpointed
+        # partitions and every propagation round joins cheap
+        # materialized data; the memo (not this builder) owns the
+        # blocks, so no call-site free is needed on a CC failure
+        edges = _minhash_pairs_shared(spark, sf_dir).select(
+            F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
         )
         sym = edges.unionAll(
             edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        try:
-            labels = connected_components(sym)
-        finally:
-            # connected_components materialized its own symmetrized
-            # copy (or raised before pinning anything durable), so the
-            # directed edge checkpoint has no remaining reader either
-            # way — without the finally, a non-convergence
-            # RuntimeError strands these blocks for the session
-            unpersist_ids(spark, edge_ids)
+        labels = connected_components(sym)
         return labels.select(
             F.col("node").alias("doc_id"),
             F.col("comp").alias("component"),
@@ -1489,29 +1520,24 @@ def dedup_cluster_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components (pointer-jumping min-label, O(log diameter)
     rounds) unchanged.
     """
-    text_edges = dedup_minhash_lsh(spark, sf_dir).select(
+    # both edge sides are the session-memoized pipeline OUTPUTS (r17
+    # optimization): the multimodal election consumes the SAME pair
+    # relations the text and embedding dedup passes emit — the
+    # production shape, where each modality's pairs are produced once
+    # and every downstream stage reads them — instead of re-running
+    # both banded pipelines inside this query. The memos are already
+    # materialized, so the union + symmetrizing swap are projections
+    # over checkpointed partitions and no call-site checkpoint (or
+    # failure-path free) is needed; the memos own their blocks.
+    text_edges = _minhash_pairs_shared(spark, sf_dir).select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     )
-    emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
+    emb_edges = _emb_pairs_shared(spark, sf_dir).select(
         F.col("vec_a").alias("s"), F.col("vec_b").alias("d")
     )
-    from ..functions.materialize import checkpoint_tracked, unpersist_ids
-
-    # materialize the merged DIRECTED edge list before symmetrizing:
-    # a post-union checkpoint would re-execute BOTH banded dedup
-    # pipelines once per union branch; here each runs exactly once and
-    # the swap is a projection over materialized partitions
-    edges, edge_ids = checkpoint_tracked(text_edges.unionAll(emb_edges))
-    sym = edges.unionAll(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    try:
-        labels = connected_components(sym)
-    finally:
-        # connected_components materialized its own symmetrized copy
-        # (or raised) — the directed edge checkpoint has no remaining
-        # reader on either path
-        unpersist_ids(spark, edge_ids)
+    sym = text_edges.unionAll(emb_edges)
+    sym = sym.unionAll(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = connected_components(sym)
     return labels.select(
         F.col("node").alias("item_id"),
         F.col("comp").alias("component"),

@@ -100,11 +100,17 @@ def test_same_session_memo_eviction_still_frees(spark):
 def test_cluster_components_call_site_failure_frees_edges(
     spark, sf_dir, monkeypatch
 ):
-    """If connected_components raises (non-convergence), the directed
-    edge checkpoint made at the CALL SITE must be freed too — the loop
-    body's failure discipline alone leaves it stranded for the session
-    lifetime (r11 ADVICE, dedup.py)."""
-    from eye_of_sauron_spark.functions.materialize import drain_session
+    """If connected_components raises (non-convergence), nothing may
+    stay pinned beyond the drain-hooked session memos (r11 ADVICE,
+    extended for the r17 shared-pair memos: the call sites no longer
+    make their own edge checkpoints — the edge lists are the
+    session-memoized pipeline outputs, whose blocks the memo owns and
+    drain_session releases)."""
+    from eye_of_sauron_spark.functions.materialize import (
+        _CK_MEMO,
+        _persistent_ids,
+        drain_session,
+    )
     from eye_of_sauron_spark.plans import dedup
 
     def boom(sym, max_rounds=50):
@@ -115,21 +121,28 @@ def test_cluster_components_call_site_failure_frees_edges(
     # test would serve the checkpointed labels without entering the
     # build path this test plants its failure in
     drain_session(spark)
-    before = _n_persist(spark)
+    before = _persistent_ids(spark)
+
+    def memo_ids() -> set[int]:
+        return {i for _, ids in _CK_MEMO.values() for i in ids}
+
     with pytest.raises(RuntimeError, match="planted non-convergence"):
         dedup.dedup_cluster_components(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
-    assert _n_persist(spark) == before, (
-        "call-site edge checkpoint leaked on CC failure"
+    assert _persistent_ids(spark) <= before | memo_ids(), (
+        "non-memo blocks leaked on CC failure"
     )
     with pytest.raises(RuntimeError, match="planted non-convergence"):
         dedup.dedup_cluster_multimodal(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
-    assert _n_persist(spark) == before, (
-        "multimodal call-site edge checkpoint leaked on CC failure"
+    assert _persistent_ids(spark) <= before | memo_ids(), (
+        "non-memo blocks leaked on multimodal CC failure"
     )
+    # and the memos themselves are drain-released, not stranded
+    drain_session(spark)
+    assert _n_persist(spark) == 0
 
 
 def test_drain_session_releases_result_pins(spark, sf_dir):
