@@ -96,13 +96,22 @@ def memo_checkpoint(spark: SparkSession, key: tuple, build) -> DataFrame:
     materializing once per session and serving every later request
     from the slot. ``key`` must capture everything the result depends
     on (e.g. the fixture dir). Only memoize SMALL relations — each
-    slot pins its blocks until the next :func:`drain_session`."""
+    slot pins its blocks until the next :func:`drain_session`.
+
+    The slot's tracked ids cover every checkpoint ``build()`` itself
+    creates, not just the final one: a build function may materialize
+    intermediate passes (e.g. dedup_embedding_cosine's corpus and
+    signature checkpoints) whose blocks the memoized plan still
+    reads, so they share the memo's lifecycle and are freed by the
+    same drain."""
     register_drain_hook(_drain_ck_memo)
     full_key = (spark.sparkContext.applicationId, *key)
     hit = _CK_MEMO.get(full_key)
     if hit is not None:
         return hit[0]
-    ck, ids = checkpoint_tracked(build())
+    before = _persistent_ids(spark)
+    ck = build().localCheckpoint(eager=True)
+    ids = sorted(_persistent_ids(spark) - before)
     # drop slots from dead sessions: their ids must not be unpersisted
     # (RDD ids restart per context and can collide with live blocks)
     for k in list(_CK_MEMO):

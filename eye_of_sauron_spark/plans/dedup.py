@@ -842,8 +842,19 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within hamming <= _HAMMING_MAX of
     each other's 64-bit signature, via the 8-band candidate equi-join
-    (pigeonhole-complete for hamming <= 7)."""
-    sims = simhash_signatures(docs)
+    (pigeonhole-complete for hamming <= 7).
+
+    The signature relation (O(docs) rows, three BIGINTs) is
+    materialized ONCE and both self-join sides read it: the previous
+    shape relied on the repartition-for-ReusedExchange trick, which
+    holds on the sort-merge path but not when AQE broadcasts a side —
+    there the broadcast side re-ran the whole explode-tokens ->
+    hash -> 64-vote aggregation (the query's dominant cost) a second
+    time (r17 optimization, guide §1.2/§2.4). Pinned with the
+    returned result; drain_session releases it."""
+    from ..functions.materialize import checkpoint_tracked
+
+    sims, _sim_ids = checkpoint_tracked(simhash_signatures(docs))
     n_bands = 2 * _SIMHASH_BANDS_PER_HALF
     banded = sims.select(
         "doc_id",
@@ -861,20 +872,11 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             f" % {2 ** _SIMHASH_BAND_BITS} END"
         ),
     )
-    # one shuffled copy of the banded signatures feeds BOTH sides of
-    # the candidate self-join: the explicit repartition on the join
-    # keys makes the two subplans byte-identical up to this exchange,
-    # so on the sort-merge path the right side materializes as
-    # ReusedExchange and the signature aggregation runs ONCE instead
-    # of once per side; no further exchange is needed (both sides
-    # arrive hash-partitioned on (band, bandval)). Measured 2.7x on
-    # the full query at sf0.1. When AQE instead broadcasts a side
-    # (tiny inputs only, by definition), the duplicate signature
-    # subtree it broadcasts is small. Same shape as the MinHash
-    # verify join above.
-    banded = banded.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "b", "bandval"
-    )
+    # both self-join sides derive from the checkpointed signatures:
+    # the per-side banding re-derivation is a projection over
+    # materialized rows, so no repartition-for-reuse is needed and
+    # the join shuffles (or broadcasts, at fixture scale) narrow
+    # already-computed rows on either path
     a = banded.select(
         F.col("doc_id").alias("da"),
         F.col("slo").alias("la"),
@@ -1029,17 +1031,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     match (src/prediction_producer.py:314-325), generalized to
     corpus-scale near-dup detection.
     """
+    from ..functions.materialize import checkpoint_tracked
+
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = _spread(_emb_corpus(emb), "vec_id")
-    sigs = corpus.select(
-        "vec_id", "label", F.explode(_emb_band_keys(F.col("emb"))).alias("bsig")
-    )
-    # materialize ONE exchange hash-partitioned on the join keys: both
-    # self-join sides are byte-identical up to it (ReusedExchange), so
-    # signatures compute once, and the candidate join reads its input
-    # already partitioned — same shape as the simhash banded join
-    sigs = sigs.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, "label", "bsig"
+    # ONE parquet pass builds the widened+drifted corpus and every
+    # consumer — both signature sides, both verify sides — reads the
+    # materialized partitions (r17 optimization, guide §1.2/§2.4).
+    # The previous shape relied on ReusedExchange to dedupe the four
+    # byte-identical corpus subtrees, but the reuse never fired: at
+    # fixture scale AQE broadcasts the tiny sides, and the
+    # broadcast-vs-shuffle asymmetry defeats canonical subtree
+    # identity — the executed plan carried 8 parquet scans and 4
+    # widen/drift folds for one query. Production materializes the
+    # normalized corpus once (at 100 TB: written to parquet, not
+    # recomputed per stage); the checkpoint is pinned with the
+    # returned result and drain_session releases it.
+    corpus, _corpus_ids = checkpoint_tracked(_spread(_emb_corpus(emb), "vec_id"))
+    # the banded signature fold (8 bands x 8 literal-plane dot folds)
+    # likewise runs ONCE: both self-join sides read this checkpoint
+    sigs, _sig_ids = checkpoint_tracked(
+        corpus.select(
+            "vec_id", "label",
+            F.explode(_emb_band_keys(F.col("emb"))).alias("bsig"),
+        )
     )
     # both sides rename EVERY column (ba/bb, not a shared "bsig"):
     # an ambiguous self-join reference resolves to a trivially-true
@@ -1059,11 +1073,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb", "la")
         .distinct()
     )
-    # one shuffled copy of the corpus feeds both verify joins
-    # (byte-identical subplans -> ReusedExchange, as in minhash verify)
-    ver = corpus.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
+    # verify joins read the corpus checkpoint directly — no
+    # per-side recompute regardless of the join strategy AQE picks
+    ver = corpus
     pairs = cand.join(
         ver.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea")), "va"
     ).join(ver.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb")), "vb")
@@ -1650,13 +1662,25 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. The asymmetry also kills the self-join's da < db
     dedup-direction concern: pairs are (batch x corpus) by
     construction."""
+    from ..functions.materialize import checkpoint_tracked
+
     docs = _spread(
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"), "doc_id"
     )
     bkt = (
         hex32_spark(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
     )
-    tagged = docs.withColumn("bkt", bkt)
+    # ONE parquet pass materializes the bucket-tagged corpus; the six
+    # consumers below (corpus hash index, both banded-signature
+    # builders, both verification shingle sides, the final batch
+    # projection) read the checkpointed partitions instead of each
+    # re-deriving docs from the scan — the executed plan carried 22
+    # parquet scans of documents for one query (r17 optimization,
+    # guide §1.2/§2.4). In production the corpus/shard split is two
+    # materialized parquet inputs, which is exactly what this
+    # checkpoint stands in for; pinned with the returned result,
+    # drain_session releases it.
+    tagged, _tag_ids = checkpoint_tracked(docs.withColumn("bkt", bkt))
     corpus = tagged.filter(F.col("bkt") < _INC_CORPUS_BUCKETS)
     batch = tagged.filter(F.col("bkt") >= _INC_CORPUS_BUCKETS).select(
         "doc_id", "text", "lang"
