@@ -1679,18 +1679,26 @@ def _mine_hard_negatives(
     with a parameterized plane count — split out so the 10x probe can
     scale the bucket count with the corpus (the production lever)
     without touching the registered query's fixed-plane contract."""
+    from ..functions.materialize import checkpoint_tracked
+
     n = spark.sparkContext.defaultParallelism
-    sigs = (
-        _spread(emb, "vec_id")
-        .select(
+    # the signature relation is materialized ONCE and both self-join
+    # sides derive from it: the repartition-for-ReusedExchange trick
+    # holds on the sort-merge path but not when AQE broadcasts a side
+    # — there the broadcast side re-ran the scan + hyperplane fold a
+    # second time (4 parquet scans in the executed plan; r17
+    # optimization, guide §1.2/§2.4). The bucket-key repartition
+    # stays, so the at-scale sort-merge path still shares its one
+    # exchange; pinned with the returned result, drain_session
+    # releases it.
+    sigs, _sig_ids = checkpoint_tracked(
+        _spread(emb, "vec_id").select(
             "vec_id",
             "embedding",
             hyperplane_sig_spark(F.col("embedding"), range(n_planes)).alias("sig"),
         )
-        # ONE exchange on the bucket key; both self-join sides are
-        # byte-identical up to it -> ReusedExchange
-        .repartition(n, "sig")
     )
+    sigs = sigs.repartition(n, "sig")
     a = sigs.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
         F.col("sig").alias("sa"),
