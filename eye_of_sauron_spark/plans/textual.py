@@ -886,7 +886,15 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select("lang", F.explode(bigrams_spark(F.col("text"))).alias("p")).select(
         "lang", "p.w1", "p.w2"
     )
-    und = (
+    from ..functions.materialize import checkpoint_tracked
+
+    # the canonical edge list feeds THREE consumers (both degree
+    # branches and the cap join's probe side); materialize the
+    # explode-bigrams -> distinct pass once so the cap-join
+    # checkpoint job below reads it instead of re-deriving it per
+    # consumer (r17 optimization, guide §1.2) — pinned with the
+    # returned result, drain_session releases it
+    und, _und_ids = checkpoint_tracked(
         pairs.filter(F.col("w1") != F.col("w2"))
         .select(
             "lang",
