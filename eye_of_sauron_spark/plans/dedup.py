@@ -289,6 +289,13 @@ def _minhash_lsh_pairs(
     _MINHASH_K hashes) — the registered query below is this at
     _MINHASH_BANDS; the band-count ladder runs the same rung pipeline
     per rung over a shared materialized prefix (r17 optimization)."""
+    # NOT checkpointed (r17 optimization round, measured negative):
+    # unlike the self-join pipelines above, AQE's runtime exchange
+    # reuse already dedupes this shape's repeated subtrees (5 jobs
+    # executed), and an eager shared-pass checkpoint — the band
+    # ladder's trick, profitable there because THREE rungs consume it
+    # — added a synchronous materialization barrier for a single rung:
+    # interleaved A/B read 1.26x WORSE (jobs 5 -> 8).
     base = _minhash_base(spark, sf_dir)
     hashed = base.select(
         "doc_id", F.transform("sh", hex32_spark).alias("hs")
