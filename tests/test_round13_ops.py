@@ -238,15 +238,23 @@ class _static_plan:
 
 
 def test_hard_negatives_plan_and_contract(spark, sf_dir):
-    """ReusedExchange on the bucket self-join (signatures computed
-    once), cosine fold behind the Generate barrier, and the mined
-    pairs honor the non-dup gate and tie rule."""
+    """Signatures computed once (since the r17 checkpoint, both
+    self-join sides read the SAME materialized ExistingRDD — a
+    stronger guarantee than the ReusedExchange this test used to pin,
+    which held on the static path but not under AQE broadcast),
+    cosine fold behind the Generate barrier, and the mined pairs
+    honor the non-dup gate and tie rule."""
     from eye_of_sauron_spark.plans.vector import _HN_DUP_CM, mine_hard_negatives
 
     with _static_plan(spark):
         df = mine_hard_negatives(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, "bucket signatures computed twice"
+    # the hyperplane fold must NOT appear in the consumer plan at all
+    # (it ran once, inside the checkpoint build), and both join sides
+    # must read the materialized signature relation
+    assert plan.count("Scan ExistingRDD") == 2, (
+        "both self-join sides must read the signature checkpoint"
+    )
     assert "CartesianProduct" not in plan
     smj = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
     assert "aggregate(" not in smj and "zip_with" not in smj, (
