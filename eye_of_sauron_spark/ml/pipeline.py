@@ -164,16 +164,8 @@ def frames_from_events(events: DataFrame) -> DataFrame:
 def detect_embed(frames: DataFrame) -> DataFrame:
     """A4: detect boxes, explode to per-face rows, embed each face.
     Narrow stages — no shuffle."""
-    return (
-        frames.withColumn("boxes", _detect_udf("payload"))
-        .select(
-            "camera",
-            "frame_num",
-            "payload",
-            "boxes",
-            F.posexplode_outer("boxes").alias("face_idx", "box"),
-        )
-        .withColumn("emb", _embed_one_udf("payload", "box"))
+    return _explode_boxes(frames).withColumn(
+        "emb", _embed_one_udf("payload", "box")
     )
 
 
@@ -187,27 +179,41 @@ def _explode_boxes(frames: DataFrame) -> DataFrame:
     )
 
 
+def _first_k_faces(faces: DataFrame, k: int) -> DataFrame:
+    """The first k detected faces of an exploded per-face relation in
+    (frame_num, face_idx) order — the shared head of every target
+    derivation (null boxes are zero-face frames, never targets)."""
+    return (
+        faces.filter(F.col("box").isNotNull())
+        .orderBy("frame_num", "face_idx")
+        .limit(k)
+    )
+
+
+def _name_targets(faces_k: DataFrame) -> DataFrame:
+    """Naming tail of the target derivation: number the (already
+    embedded, already limited) first faces in (frame_num, face_idx)
+    order and shape the k-row (target_idx, te, tname) upload set."""
+    return faces_k.withColumn(
+        "target_idx",
+        F.row_number().over(W.orderBy("frame_num", "face_idx")),
+    ).select(
+        "target_idx",
+        F.col("emb").alias("te"),
+        F.concat(F.lit("person_"), F.col("target_idx").cast("string")).alias(
+            "tname"
+        ),
+    )
+
+
 def first_faces_targets(frames: DataFrame, k: int = _PIPE_TARGETS) -> DataFrame:
     """The "upload set": the first k detected faces of the stream in
     (frame_num, face_idx) order, as a k-row broadcastable DataFrame
     (target_idx, te, tname) — no driver collect. Embedding happens
     AFTER the limit, so it costs k embed calls, not one per face."""
-    return (
-        _explode_boxes(frames)
-        .filter(F.col("box").isNotNull())
-        .orderBy("frame_num", "face_idx")
-        .limit(k)
-        .withColumn("emb", _embed_one_udf("payload", "box"))
-        .withColumn(
-            "target_idx",
-            F.row_number().over(W.orderBy("frame_num", "face_idx")),
-        )
-        .select(
-            "target_idx",
-            F.col("emb").alias("te"),
-            F.concat(F.lit("person_"), F.col("target_idx").cast("string")).alias(
-                "tname"
-            ),
+    return _name_targets(
+        _first_k_faces(_explode_boxes(frames), k).withColumn(
+            "emb", _embed_one_udf("payload", "box")
         )
     )
 
@@ -230,10 +236,7 @@ def face_pipeline(frames: DataFrame, targets: DataFrame) -> DataFrame:
     k-way crossJoin into a per-face groupBy first, pushing payload
     bytes through two aggregations (round-4 verdict, ml_face_pipeline
     audit)."""
-    faces = _explode_boxes(frames).withColumn(
-        "emb", _embed_one_udf("payload", "box")
-    )
-    return _match_annotate(faces, targets)
+    return _match_annotate(detect_embed(frames), targets)
 
 
 def _match_annotate(faces: DataFrame, targets: DataFrame) -> DataFrame:
@@ -369,27 +372,11 @@ def ml_face_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = frames_from_events(load_table(spark, sf_dir, "events"))
     # pinned with the returned result (drain_session releases it)
-    faces, _face_ids = checkpoint_tracked(
-        _explode_boxes(frames).withColumn(
-            "emb", _embed_one_udf("payload", "box")
-        )
-    )
-    targets = (
-        faces.filter(F.col("box").isNotNull())
-        .orderBy("frame_num", "face_idx")
-        .limit(_PIPE_TARGETS)
-        .withColumn(
-            "target_idx",
-            F.row_number().over(W.orderBy("frame_num", "face_idx")),
-        )
-        .select(
-            "target_idx",
-            F.col("emb").alias("te"),
-            F.concat(
-                F.lit("person_"), F.col("target_idx").cast("string")
-            ).alias("tname"),
-        )
-    )
+    faces, _face_ids = checkpoint_tracked(detect_embed(frames))
+    # same derivation first_faces_targets runs, minus its post-limit
+    # embed: the materialized rows already carry emb (the identical
+    # pure function of (payload, box))
+    targets = _name_targets(_first_k_faces(faces, _PIPE_TARGETS))
     out = _match_annotate(faces, targets)
     annot_ok = (
         (F.col("n_faces") == 0) & (F.col("annotated_len") == 39)

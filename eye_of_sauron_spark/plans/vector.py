@@ -694,11 +694,11 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cells"),
         )
     )
+    assigned = shared.select(
+        "vec_id", "embedding", F.col("cells")[0].alias("cell")
+    )
     rung_anns = []
     for np_ in _IVF_LADDER_NPROBES:
-        assigned = shared.select(
-            "vec_id", "embedding", F.col("cells")[0].alias("cell")
-        )
         probes = shared.filter(F.expr(_QUERY_FILTER)).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),

@@ -5,12 +5,22 @@ same-window ratios, never on two solo runs).
 
 Usage::
 
-    python tools/ab_time.py <module>:<fn_a> <module>:<fn_b> [reps]
+    python tools/ab_time.py <module>:<fn_a> <module>:<fn_b> [reps] [--drain]
 
 Each fn is ``fn(spark, sf_dir) -> DataFrame``; timing is the noop-sink
 materialization (full-plan compute, no sink cost). Runs A,B,A,B,...
 ``reps`` times each (default 5) after one untimed warmup of each, and
 prints per-rep seconds + median ratio B/A.
+
+Default semantics are WARM — session memos/checkpoints populated by
+the warmup persist across reps, exactly like bench.py's best-of-2
+(which never drains between queries, so its picked sample is the warm
+one). That means a candidate whose win is "hit the session memo"
+shows its warm-path ratio here, not the cost of a fresh driver
+invocation. Pass ``--drain`` to drain_session after EVERY run
+(warmups included): each rep then rebuilds memos/checkpoints from the
+parquet inputs — the cold path, and the mode that keeps executor
+storage flat over many reps.
 """
 
 from __future__ import annotations
@@ -49,19 +59,30 @@ def _run(fn, spark, sf_dir, group: str | None = None) -> tuple[float, int]:
 
 
 def main() -> None:
-    fa, fb = _resolve(sys.argv[1]), _resolve(sys.argv[2])
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    args = [a for a in sys.argv[1:] if a != "--drain"]
+    drain = "--drain" in sys.argv[1:]
+    fa, fb = _resolve(args[0]), _resolve(args[1])
+    reps = int(args[2]) if len(args) > 2 else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ab_time")
+    if drain:
+        from eye_of_sauron_spark.functions.materialize import drain_session
+    else:
+        def drain_session(_spark):  # warm mode: memos persist, like bench.py
+            return None
     _run(fa, spark, sf_dir)
+    drain_session(spark)
     _run(fb, spark, sf_dir)
+    drain_session(spark)
     ta, tb = [], []
     ja = jb = -1
     for i in range(reps):
         t, ja = _run(fa, spark, sf_dir, f"A-{i}")
         ta.append(t)
+        drain_session(spark)
         t, jb = _run(fb, spark, sf_dir, f"B-{i}")
         tb.append(t)
+        drain_session(spark)
     print("A:", " ".join(f"{t:.3f}" for t in ta),
           f" median {statistics.median(ta):.3f}  jobs {ja}")
     print("B:", " ".join(f"{t:.3f}" for t in tb),

@@ -8,8 +8,11 @@ Usage::
 Writes ``<out_dir>/<query>_<suffix>.txt`` (suffix default "before")
 for each named query (default: all). Plans are captured at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) — plan SHAPE
-(join strategy, Exchange count, PushedFilters) is what the files pin;
-no query is executed.
+(join strategy, Exchange count, PushedFilters) is what the files pin.
+The final action is never run, but queries built on a materialized
+shared pass (checkpoint_tracked/memo_checkpoint) DO execute that
+pass at plan-construction time, so the session is drained after each
+query to keep a full sweep's executor storage flat.
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
+    from eye_of_sauron_spark.functions.materialize import drain_session
+
     registry = plans.all_queries()
     todo = names or sorted(registry)
     for name in todo:
@@ -46,6 +51,7 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(f"wrote {path}")
+        drain_session(spark)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,10 @@ def main() -> int:
     it = iter(args)
     for a in it:
         if a == "--sf":
-            sf_dirs.append(next(it))
+            try:
+                sf_dirs.append(next(it))
+            except StopIteration:
+                raise SystemExit("--sf needs a directory argument") from None
         else:
             names.append(a)
     if not sf_dirs:
