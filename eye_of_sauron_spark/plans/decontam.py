@@ -29,7 +29,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.hashing import hex32_duck, hex32_spark
 from ..functions.text import shingles_duck, shingles_spark, tokens_spark
-from ..functions.vector import cosine_duck, cosine_spark
+from ..functions.vector import cosine_duck, cosine_spark, dot_spark, l2_spark
 from ..sources import load_table
 from .dedup import _COSINE_NEARDUP, _DRIFT_DUCK, _EMB_COPY_OFFSET, _emb_corpus
 from .registry import query
@@ -665,43 +665,45 @@ def decontam_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _SEM_EVAL_MOD
         == 0
     )
+    # each side's l2 norm is computed ONCE (eval norms ride the
+    # broadcast structs, the train norm is a sibling projection) —
+    # the same fold over the same vector yields the same bits, so
+    # try_divide(dot, tn*n) is bitwise-identical to cosine_spark while
+    # dropping two 64-element norm folds from EVERY (train, eval)
+    # element: ~60% of the per-pair interpreted higher-order-function
+    # work (r18 optimization, guide §4/§2.3 — interleaved A/B 1.33 ->
+    # 0.97 s warm, 4.7 -> 3.9 s cold-JVM first sample).
     ev_row = corpus.filter(is_eval).agg(
-        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("evs")
+        F.array_sort(
+            F.collect_list(
+                F.struct("vec_id", "emb", l2_spark(F.col("emb")).alias("n"))
+            )
+        ).alias("evs")
     )
 
     def _scores(vec: Column) -> Column:
+        # (coalesced cos, -ev, ev) structs: lexicographic struct order
+        # makes array_max the argmax with the SAME total order as the
+        # r11 running-max fold — cos DESC (coalesce NULL cos from
+        # zero-norm vectors to -2 < every real cosine), then ev ASC
+        # (max of -ev = min ev). array_max is a flat per-element
+        # comparison loop instead of a per-element when/otherwise
+        # struct-builder fold — measurably cheaper interpreted.
         return F.transform(
             F.col("evs"),
             lambda s: F.struct(
-                cosine_spark(vec, s["emb"]).alias("cos"),
+                F.coalesce(
+                    F.try_divide(dot_spark(vec, s["emb"]), F.col("tn") * s["n"]),
+                    F.lit(-2.0),
+                ).alias("cos"),
+                (-s["vec_id"]).alias("nev"),
                 s["vec_id"].alias("ev"),
             ),
         )
 
-    def _keep_better(acc: Column, s: Column) -> Column:
-        # running max with the same total order as the previous
-        # array_sort comparator — cos DESC, ev ASC, NULL cos (zero-
-        # norm vectors) last via coalesce to -2 (< every cosine):
-        # O(E) per train row instead of O(E log E) (r10 ADVICE); the
-        # tie rule is unchanged so the oracle hash is untouched.
-        ac = F.coalesce(acc["cos"], F.lit(-2.0))
-        sc = F.coalesce(s["cos"], F.lit(-2.0))
-        return (
-            F.when(sc > ac, s)
-            .when(
-                (sc == ac) & (acc["ev"].isNull() | (s["ev"] < acc["ev"])), s
-            )
-            .otherwise(acc)
-        )
-
-    # seed below every real score (cosine >= -1 > -2) with a NULL ev
-    # so the first element always wins; an EMPTY eval array returns
-    # the seed, whose cos=-2 fails the threshold filter — no output
-    # row, same as the sorted-array path's null element [0].
-    _seed = F.struct(
-        F.lit(-2.0).alias("cos"), F.lit(None).cast("bigint").alias("ev")
-    )
-    best = F.aggregate(_scores(F.col("emb")), _seed, _keep_better)
+    # an EMPTY eval array yields NULL from array_max; the threshold
+    # filter below drops it — no output row, same as the fold seed.
+    best = F.array_max(_scores(F.col("emb")))
     # explode_outer of the 0-or-1-element thresholded array, NOT a
     # plain filter on best.cos: Catalyst collapses the projection and
     # merges that filter into the BNLJ condition, re-evaluating the
@@ -714,6 +716,7 @@ def decontam_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = F.filter(F.array(best), lambda b: b["cos"] >= _COSINE_NEARDUP)
     return (
         _spread(corpus.filter(~is_eval), "vec_id")
+        .withColumn("tn", l2_spark(F.col("emb")))
         .crossJoin(F.broadcast(ev_row))
         .select(
             F.col("vec_id").alias("train_vec"),
