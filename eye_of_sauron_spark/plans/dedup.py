@@ -697,21 +697,25 @@ def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_ngram_jaccard), session-memoized once for the ladder —
     O(near-dup pairs) rows, broadcast-sized, sampled-slice at 100 TB
     exactly like dedup_minhash_recall documents; the rungs share ONE
-    materialized shingle+hash pass (r17 optimization, guide §1.2:
-    the scan -> shingle -> md5 prefix used to run once PER RUNG —
-    three full narrow passes over the corpus for one ladder; now the
-    (doc_id, sh, hs) relation is localCheckpointed once and every
-    rung derives its band signatures, bucket self-join and
-    candidate-only verification from the materialized partitions, so
-    the three rungs really are three banded passes over the same
-    shingle layout, and the per-rung verify exchange collapses to a
-    ReusedExchange across rungs because all three now hash-partition
-    the same checkpointed leaf). At 100 TB the one-pass materialization
-    is the standard time/space trade (MEMORY_AND_DISK blocks of
-    O(corpus tokens) hashes) against re-scanning the corpus per rung.
-    The rung-16 pass IS the candidate-volume ceiling the dial exists
-    to expose (16 single-row bands ~ every minhash collision becomes
-    a candidate)."""
+    materialized shingle+hash pass (r17 optimization, guide §1.2) AND
+    — r18 optimization, same guide section — ONE banded pass: because
+    coarse-band signatures decompose into their single-minhash fine
+    bands ('|'-joined integers, unique decomposition), a pair's
+    candidacy at EVERY rung is a function of which of the K fine
+    bands match. So the ladder runs the bucket self-join once at the
+    finest layout (K single-minhash bands — exactly the old rung-K
+    join, the candidate-volume ceiling the dial exists to expose),
+    folds each colliding pair's matched band indices into a K-bit
+    mask (bit_or of 1<<band), verifies jaccard >= 0.8 once on that
+    superset, and derives rung b's flag as "some aligned window of
+    K/b consecutive mask bits is all-ones" — the same coarse-band
+    membership the per-rung join used to recompute. The previous
+    shape ran 3 bucket self-joins + 3 two-sided verification joins +
+    3 audit joins; this shape runs 1 + 1 + 1 with a per-rung bitmask
+    test, i.e. the marginal cost of a rung is a constant expression,
+    not a corpus pass. At 100 TB the one-pass materialization is the
+    standard time/space trade (MEMORY_AND_DISK blocks of O(corpus
+    tokens) hashes) against re-scanning the corpus per rung."""
     from ..functions.materialize import checkpoint_tracked, memo_checkpoint
 
     exact = memo_checkpoint(
@@ -726,25 +730,93 @@ def dedup_minhash_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "sh", F.transform("sh", hex32_spark).alias("hs")
         )
     )
-    # the returned union reads the checkpoint, so it stays pinned with
+    # the returned plan reads the checkpoint, so it stays pinned with
     # the result (same lifecycle as textrank's final ranks checkpoint;
     # drain_session releases it once the result is consumed)
     base = shared.select("doc_id", "sh")
     hashed = shared.select("doc_id", "hs")
-    out = None
-    for b in _MINHASH_LADDER_BANDS:
-        lsh = _lsh_pairs_from(spark, base, hashed, b).select(
-            F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+
+    # ONE bucket self-join at the finest (single-minhash) layout; the
+    # matched fine-band set per pair, as a K-bit mask
+    fine = hashed.select(
+        "doc_id",
+        F.posexplode_outer(_band_sigs(F.col("hs"), _MINHASH_K)).alias(
+            "band", "sig"
+        ),
+    )
+    a = fine.select(
+        F.col("doc_id").alias("da"), F.col("band").alias("b1"), F.col("sig").alias("s1")
+    )
+    b = fine.select(
+        F.col("doc_id").alias("db"), F.col("band").alias("b2"), F.col("sig").alias("s2")
+    )
+    matched = (
+        a.join(b, (a.b1 == b.b2) & (a.s1 == b.s2) & (a.da < b.db))
+        .groupBy("da", "db")
+        .agg(
+            # pyspark's shiftleft only takes a literal shift; the SQL
+            # form accepts a column
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b1 AS INT))")
+            ).alias("mask")
         )
-        tier = _candidate_flags(exact, lsh).select(
-            F.lit(b).cast("int").alias("n_bands"),
-            "doc_a",
-            "doc_b",
-            "jaccard",
-            "in_candidates",
-        )
-        out = tier if out is None else out.unionByName(tier)
-    return out
+    )
+    # ONE candidate-only jaccard verification on the rung-K superset
+    # (verified sets nest exactly like candidate sets, so rung flags
+    # below stay the per-rung pipeline's verified output)
+    verify = base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    vpairs = matched.join(
+        verify.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da"
+    ).join(verify.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
+    i = F.size(F.array_intersect("sha", "shb"))
+    jac = i / (F.size("sha") + F.size("shb") - i)
+    verified = (
+        vpairs.select("da", "db", "mask", jac.alias("vjac"))
+        .filter(F.col("vjac") >= _JACCARD_THRESHOLD)
+        .select(F.col("da").alias("la"), F.col("db").alias("lb"), "mask")
+    )
+
+    # ONE audit join; per-rung candidacy is a bitmask expression
+    flags = exact.join(
+        verified,
+        (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+        "left",
+    )
+
+    def _rung_flag(n_bands: int) -> F.Column:
+        width = _MINHASH_K // n_bands
+        full = (1 << width) - 1
+        hit = None
+        for w in range(n_bands):
+            t = (
+                F.shiftrightunsigned(F.col("mask"), w * width).bitwiseAND(
+                    F.lit(full)
+                )
+                == F.lit(full)
+            )
+            hit = t if hit is None else (hit | t)
+        # missed pairs carry a NULL mask -> flag false, same as the
+        # per-rung left join's la.isNotNull()
+        return F.coalesce(hit, F.lit(False))
+
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("int").alias("n_bands"),
+                _rung_flag(n).alias("in_candidates"),
+            )
+            for n in _MINHASH_LADDER_BANDS
+        ]
+    )
+    return flags.select(
+        "doc_a", "doc_b", "jaccard", F.explode(tiers).alias("t")
+    ).select(
+        F.col("t.n_bands").alias("n_bands"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.col("t.in_candidates").alias("in_candidates"),
+    )
 
 
 # SimHash: 64-bit signature (as lo/hi 32-bit halves) from the token
