@@ -1749,65 +1749,75 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = (
         hex32_spark(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
     )
-    # ONE parquet pass materializes the bucket-tagged corpus; the six
-    # consumers below (corpus hash index, both banded-signature
-    # builders, both verification shingle sides, the final batch
-    # projection) read the checkpointed partitions instead of each
-    # re-deriving docs from the scan — the executed plan carried 22
-    # parquet scans of documents for one query (r17 optimization,
-    # guide §1.2/§2.4). In production the corpus/shard split is two
-    # materialized parquet inputs, which is exactly what this
-    # checkpoint stands in for; pinned with the returned result,
-    # drain_session releases it.
-    tagged, _tag_ids = checkpoint_tracked(docs.withColumn("bkt", bkt))
+    # ONE parquet pass materializes the bucket-tagged corpus WITH its
+    # derived index columns — content hash, shingle array and banded
+    # MinHash signatures (r17 materialized only the raw text; r18,
+    # guide §1.2/§2.4: every downstream consumer re-derived md5/
+    # shingles/minhash from the text per branch). The checkpoint now
+    # IS the (hash, band-sig, shingles) index a production deployment
+    # keeps materialized in parquet; the exact probe, both banded
+    # sides, the verification shingle sides and the final projection
+    # are pure filters/projections/joins over it. The recrawl rows
+    # re-key their originals, so their index columns are reused, not
+    # recomputed. Pinned with the returned result; drain_session
+    # releases it.
+    # STAGED projections: sh and hs must be their own projection steps
+    # so CollapseProject keeps them single-evaluation — inlining the
+    # whole chain into _band_sigs duplicates the shingle split 51x and
+    # the per-shingle md5 16x in the optimized plan (measured; same
+    # rationale as _band_sigs' own docstring)
+    tagged, _tag_ids = checkpoint_tracked(
+        docs.select(
+            "doc_id",
+            "lang",
+            bkt.alias("bkt"),
+            F.md5("text").alias("h"),
+            shingles_spark(F.col("text")).alias("sh"),
+        )
+        .withColumn("hs", F.transform("sh", hex32_spark))
+        .select(
+            "doc_id", "lang", "bkt", "h", "sh", _band_sigs(F.col("hs")).alias("bands")
+        )
+    )
     corpus = tagged.filter(F.col("bkt") < _INC_CORPUS_BUCKETS)
     batch = tagged.filter(F.col("bkt") >= _INC_CORPUS_BUCKETS).select(
-        "doc_id", "text", "lang"
+        "doc_id", "lang", "h", "sh", "bands"
     ).unionAll(
         corpus.filter(F.col("doc_id") % _INC_RECRAWL_MOD == 0).select(
             (F.col("doc_id") + _INC_RECRAWL_OFFSET).alias("doc_id"),
-            "text",
             "lang",
+            "h",
+            "sh",
+            "bands",
         )
     )
 
-    # exact probe: distinct corpus hashes, flagged via left join
-    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    # exact probe: distinct corpus hashes, flagged via left join (lang
+    # rides along so the final projection needs no re-join with batch)
+    ch = corpus.select("h").distinct()
     exact = (
-        batch.select("doc_id", F.md5("text").alias("h"))
+        batch.select("doc_id", "lang", "h")
         .join(ch.withColumn("is_exact", F.lit(True)), "h", "left")
-        .select("doc_id", F.coalesce("is_exact", F.lit(False)).alias("is_exact"))
+        .select(
+            "doc_id", "lang", F.coalesce("is_exact", F.lit(False)).alias("is_exact")
+        )
     )
 
-    # near probe: banded MinHash signatures on both sides, candidates
-    # via (band, sig) equi-join, shingle-array verification on the
-    # candidate pairs only
-    def sigs(side: DataFrame, alias: str) -> DataFrame:
-        # token-count gate + posexplode_outer for the same pushdown
-        # reasons as dedup_minhash_lsh (keep shingling above the
-        # exchange, off the scan's single split); the repartition on
-        # doc_id makes the shingle relation's subplan byte-identical
-        # under BOTH consumers (the banding branch and the
-        # verification branch), so the physical planner emits a
-        # ReusedExchange and each side's shingling runs ONCE, not once
-        # per branch — the same trick as dedup_minhash_lsh's verify
-        base = (
-            side.filter(F.size(tokens_spark(F.col("text"))) >= 3)
-            .select("doc_id", shingles_spark(F.col("text")).alias("sh"))
-            .repartition(side.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        )
-        hashed = base.select("doc_id", F.transform("sh", hex32_spark).alias("hs"))
-        return base, hashed.select(
+    # near probe: both sides' banded signatures are index reads; the
+    # non-empty-shingles gate (= the old token-count gate) keeps short
+    # docs out of banding exactly as before
+    def bands_of(side: DataFrame, alias: str) -> DataFrame:
+        return side.filter(F.size("sh") > 0).select(
             F.col("doc_id").alias(alias),
-            F.posexplode_outer(_band_sigs(F.col("hs"))).alias("band", "sig"),
+            F.posexplode_outer("bands").alias("band", "sig"),
         )
 
-    cbase, cbands = sigs(corpus, "dc")
-    bbase, bbands = sigs(batch, "db")
+    cbands = bands_of(corpus, "dc")
+    bbands = bands_of(batch, "db")
     cand = bbands.join(cbands, ["band", "sig"]).select("db", "dc").distinct()
     pairs = cand.join(
-        bbase.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db"
-    ).join(cbase.select(F.col("doc_id").alias("dc"), F.col("sh").alias("shc")), "dc")
+        batch.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db"
+    ).join(corpus.select(F.col("doc_id").alias("dc"), F.col("sh").alias("shc")), "dc")
     i = F.size(F.array_intersect("shb", "shc"))
     jac = i * F.lit(1.0) / (F.size("shb") + F.size("shc") - i)
     near = (
@@ -1824,9 +1834,7 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return (
-        batch.select("doc_id", "lang")
-        .join(exact, "doc_id")
-        .join(near, "doc_id", "left")
+        exact.join(near, "doc_id", "left")
         .select("doc_id", "lang", verdict.alias("verdict"))
     )
 
