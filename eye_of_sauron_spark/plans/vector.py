@@ -590,26 +590,55 @@ def _ladder_oracle(dial_col: str, rungs, oracle_sql_fn) -> str:
 def _ladder_of(
     spark: SparkSession, sf_dir: str, dial_col: str, rung_anns
 ) -> DataFrame:
-    """Shared dial-ladder plan: per-rung :func:`_recall_of` over the
-    prepared ``(rung, ann_df)`` pairs, tagged with the dial value and
-    unioned. The rung ANN relations are built by each ladder from ONE
+    """Shared dial-ladder plan over the prepared ``(rung, ann_df)``
+    pairs. The rung ANN relations are built by each ladder from ONE
     materialized shared pass (r17 optimization); every rung still
     runs the registered ranking tail byte-for-byte, and the
     shared-pass derivations are property-pinned
     (tests/test_properties.py), so the middle-rung row-identity pins
-    keep holding by construction."""
-    out = None
+    keep holding by construction.
+
+    r18 optimization (guide §2.4): the per-rung :func:`_recall_of`
+    calls planned one exact-side join + one aggregate PER RUNG, then
+    unioned three aggregate outputs — 3 joins, 3 shuffles, 3 codegen
+    units for what is one relation. The rung tag is now part of the
+    join key instead: the session-memoized exact top-k explodes to
+    (rung, query, cand) — O(rungs x queries x k) rows, still
+    broadcast-sized — the tagged rung ANN union joins once, and ONE
+    (rung, query) aggregate emits every ladder row. Same rows, same
+    per-rung math, one exchange."""
+    from ..functions.materialize import memo_checkpoint
+
+    exact = memo_checkpoint(
+        spark,
+        ("recall_exact_topk", os.path.realpath(sf_dir), _RECALL_K),
+        lambda: similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "cand_id"),
+    )
+    ann = None
     for r_, ann_df in rung_anns:
-        tier = _recall_of(
-            spark, sf_dir, lambda s, d, a=ann_df: a
-        ).select(
-            F.lit(r_).cast("int").alias(dial_col),
-            "query_id",
-            "n_hits",
-            "recall",
+        t = ann_df.filter(F.col("rank") <= _RECALL_K).select(
+            F.lit(r_).cast("int").alias("ar"),
+            F.col("query_id").alias("aq"),
+            F.col("cand_id").alias("ac"),
         )
-        out = tier if out is None else out.unionByName(tier)
-    return out
+        ann = t if ann is None else ann.unionByName(t)
+    rungs = F.array(*[F.lit(r_).cast("int") for r_, _ in rung_anns])
+    ex = exact.select(
+        F.explode(rungs).alias(dial_col), "query_id", "cand_id"
+    )
+    joined = ex.join(
+        F.broadcast(ann),
+        (F.col(dial_col) == F.col("ar"))
+        & (F.col("query_id") == F.col("aq"))
+        & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return joined.groupBy(dial_col, "query_id").agg(
+        F.count("ac").cast("int").alias("n_hits"),
+        F.round(F.count("ac") / F.lit(float(_RECALL_K)), 6).alias("recall"),
+    )
 
 
 @query("similarity_lsh_recall", oracle=_recall_oracle(_LSH_ORACLE))
