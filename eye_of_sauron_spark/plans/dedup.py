@@ -890,10 +890,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens_spark(F.col("text"))).alias("tok")
     )
-    hashed = toks.select(
+    # staged projection: md5 once per token, then both halves — inline
+    # md5 in both hex32_at_spark calls is evaluated twice per row
+    # (r18; verified in the optimized plan)
+    hashed = toks.select("doc_id", F.md5("tok").alias("m")).select(
         "doc_id",
-        hex32_at_spark(F.md5("tok"), 1).alias("hlo"),
-        hex32_at_spark(F.md5("tok"), 9).alias("hhi"),
+        hex32_at_spark(F.col("m"), 1).alias("hlo"),
+        hex32_at_spark(F.col("m"), 9).alias("hhi"),
     )
     aggs = [
         F.sum(
