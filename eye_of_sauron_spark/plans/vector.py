@@ -166,13 +166,22 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, per-query ranking window. The corpus never shuffles until
     rows are already down to O(queries x k)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # each side's l2 norm is computed once per ROW, not once per
+    # scored pair (r18, guide §2.3): the same fold over the same
+    # vector yields the same bits, so try_divide(dot, qn*cn) is
+    # bitwise-identical to cosine_spark while dropping two thirds of
+    # the per-pair interpreted fold work
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_spark(F.col("embedding")).alias("qn"),
     )
     c = _spread(emb, "vec_id").select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_spark(F.col("embedding")).alias("cn"),
     )
-    cos = cosine_spark(F.col("qe"), F.col("ce"))
+    cos = F.try_divide(dot_spark(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn"))
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         c.crossJoin(F.broadcast(q))
@@ -260,13 +269,21 @@ def _lsh_topk_from(sigs: DataFrame) -> DataFrame:
     signature pass (rung sig = sig_max mod 2^planes, the prefix
     refinement pinned in tests/test_properties.py) while the
     registered single-rung path keeps its exact previous plan."""
+    # per-row norms instead of per-pair (r18, guide §2.3 — bitwise-
+    # identical to cosine_spark, see similarity_topk_cosine)
     q = sigs.filter(F.expr(_QUERY_FILTER)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_spark(F.col("embedding")).alias("qn"),
+        "sig",
     )
     c = sigs.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "sig"
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_spark(F.col("embedding")).alias("cn"),
+        "sig",
     )
-    cos = cosine_spark(F.col("qe"), F.col("ce"))
+    cos = F.try_divide(dot_spark(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn"))
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         c.join(F.broadcast(q), ["sig"])
@@ -407,8 +424,13 @@ def _ivf_cell_scores(vec: F.Column) -> F.Column:
 
 def _ivf_rank_tail(assigned: DataFrame, probes: DataFrame) -> DataFrame:
     """The candidate equi-join + per-query ranking tail shared by the
-    registered IVF plan and every nprobe-ladder rung."""
-    cos = cosine_spark(F.col("qe"), F.col("embedding"))
+    registered IVF plan and every nprobe-ladder rung. ``assigned``
+    must carry a per-row corpus norm ``cn`` and ``probes`` a per-row
+    query norm ``qn`` (r18, guide §2.3 — norms once per row, not once
+    per scored pair; bitwise-identical to cosine_spark)."""
+    cos = F.try_divide(
+        dot_spark(F.col("qe"), F.col("embedding")), F.col("qn") * F.col("cn")
+    )
     w_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid_cand").asc())
     return (
         assigned.join(F.broadcast(probes), "cell")
@@ -436,6 +458,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            l2_spark(F.col("embedding")).alias("cn"),
             F.array_sort(_ivf_cell_scores(F.col("embedding")), _ivf_cell_order)[
                 0
             ]["cid"].alias("cell"),
@@ -447,6 +470,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
+            l2_spark(F.col("embedding")).alias("qn"),
             F.explode(
                 F.slice(
                     F.array_sort(
@@ -714,6 +738,10 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            # per-row norm materialized with the ranking (r18, guide
+            # §2.3): every rung's scoring tail reads it instead of
+            # re-folding the norm per scored pair
+            l2_spark(F.col("embedding")).alias("n"),
             F.slice(
                 F.array_sort(
                     _ivf_cell_scores(F.col("embedding")), _ivf_cell_order
@@ -724,13 +752,14 @@ def similarity_ivf_nprobe_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assigned = shared.select(
-        "vec_id", "embedding", F.col("cells")[0].alias("cell")
+        "vec_id", "embedding", F.col("n").alias("cn"), F.col("cells")[0].alias("cell")
     )
     rung_anns = []
     for np_ in _IVF_LADDER_NPROBES:
         probes = shared.filter(F.expr(_QUERY_FILTER)).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
+            F.col("n").alias("qn"),
             F.explode(F.slice("cells", 1, np_)).alias("cell"),
         )
         rung_anns.append((np_, _ivf_rank_tail(assigned, probes)))
